@@ -1,0 +1,55 @@
+"""Stream assembly: headers + CABAC slice data -> Annex-B bytes.
+
+Role of the reference's engine output stage (hmr_encoder_lib.c:3285-3330:
+VPS/SPS/PPS on IDR, slice header, substream concat, EBSP, NAL framing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..entropy import bitstream as bs
+from ..entropy import headers
+from ..entropy.cabac import CabacEncoder, ContextSet
+from ..entropy.syntax import SliceSyntaxEncoder
+
+
+def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
+                      slice_type: int = headers.SLICE_I,
+                      pic_width: int | None = None,
+                      pic_height: int | None = None) -> bytes:
+    """CABAC-encode all CTUs of one slice into slice-data bytes."""
+    bw = bs.BitWriter()
+    init_type = {headers.SLICE_I: 0, headers.SLICE_P: 1, headers.SLICE_B: 2}[slice_type]
+    ctxs = ContextSet(init_type, slice_qp)
+    enc = CabacEncoder(bw)
+    syn = SliceSyntaxEncoder(
+        enc, ctxs,
+        pic_width=pic_width or (params.width + params.pad_right),
+        pic_height=pic_height or (params.height + params.pad_bottom),
+        ctu_log2=params.ctu_log2,
+        min_cu_log2=params.min_cu_log2,
+        max_tr_depth_intra=params.max_tr_depth_intra,
+        sign_hiding=params.sign_hiding,
+        slice_type=slice_type)
+    for i, plan in enumerate(plans):
+        syn.encode_ctu(plan, is_last=(i == len(plans) - 1))
+    bw.align_zero()   # after terminate(1) flush the stream is aligned... pad
+    return bw.get_bytes()
+
+
+def assemble_idr_au(params: headers.StreamParams, plans, *, slice_qp: int,
+                    include_parameter_sets: bool = True) -> bytes:
+    """Build one IDR access unit (optionally VPS+SPS+PPS first)."""
+    out = bytearray()
+    if include_parameter_sets:
+        out += bs.annexb_wrap(bs.nal_unit(bs.NAL_VPS, headers.write_vps(params)), True)
+        out += bs.annexb_wrap(bs.nal_unit(bs.NAL_SPS, headers.write_sps(params)), True)
+        out += bs.annexb_wrap(bs.nal_unit(bs.NAL_PPS, headers.write_pps(params)), True)
+    sh = headers.write_slice_header(
+        params, slice_type=headers.SLICE_I, is_idr=True, is_irap=True,
+        poc=0, slice_qp=slice_qp)
+    slice_payload = sh.get_bytes() + encode_slice_data(params, plans,
+                                                       slice_qp=slice_qp)
+    out += bs.annexb_wrap(bs.nal_unit(bs.NAL_IDR_W_RADL, slice_payload), True)
+    return bytes(out)
