@@ -103,12 +103,14 @@ def encode_intra_frame(y, u, v, *, qp: int, ctu_log2: int = 5,
     rec_v = np.zeros((h // 2, w // 2), np.uint8)
     qp_c = int(tables.chroma_qp_from_luma(qp))
 
-    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    lam_fx = int(round(0.57 * 2.0 ** ((qp - 12) / 3.0) * 256))
     units = size // 4
     plans = []
     for y0 in range(0, h, size):
         for x0 in range(0, w, size):
-            # luma mode decision: full closed-loop SSD + lambda*bits
+            # luma mode decision: full closed-loop SSD + lambda*bits.
+            # Integer fixed-point cost, identical to intra_jax for bit-exact
+            # cross-validation of the two pipelines.
             best = None
             for mode in range(35):
                 levels, recon, ssd = _encode_block(
@@ -116,7 +118,7 @@ def encode_intra_frame(y, u, v, *, qp: int, ctu_log2: int = 5,
                     strong_smoothing=strong_smoothing)
                 nz = int(np.count_nonzero(levels))
                 bits = 6 + nz * 4  # rough level-bit proxy for decision only
-                cost = ssd + lam * bits
+                cost = ssd + (((lam_fx >> 4) * bits) >> 4)
                 if best is None or cost < best[0]:
                     best = (cost, mode, levels, recon)
             _, mode, levels, recon = best

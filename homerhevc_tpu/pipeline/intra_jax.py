@@ -1,0 +1,203 @@
+"""TPU-native all-intra frame pipeline.
+
+Replaces the reference's WPP thread wavefront (hmr_encoder_lib.c:2849-2987)
+with a `lax.fori_loop` over block anti-diagonals: every block on a diagonal
+(skew 2, exactly the WPP dependency pattern) is processed in parallel via
+`vmap` across block rows, and each block evaluates all 35 intra modes as one
+batched tensor op (prediction gathers + transform matmuls on the MXU).
+
+The loop is closed (predictions come from reconstructed neighbors), so the
+output levels/recon are exactly what a conformant decoder reproduces; the
+stream equals the sequential golden encoder's bit-for-bit (tested).
+
+Mode decision cost = SSD + lambda * (rough bit proxy), in integer fixed
+point so the JAX and numpy paths tie-break identically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..ops import intra as intra_ops
+from ..ops import quant as quant_ops
+from ..ops import transforms as tx_ops
+
+I32 = jnp.int32
+
+
+def lambda_fx(qp: int) -> int:
+    """Integer (x256) RD lambda, HM-style: 0.57 * 2^((qp-12)/3)."""
+    return int(round(0.57 * 2.0 ** ((qp - 12) / 3.0) * 256))
+
+
+def _encode_block_all_modes(orig, top, left, corner, has_left, has_top, *,
+                            size, c_idx, qp, lam_fx, strong_smoothing):
+    """All-35-mode closed-loop encode of one block.
+
+    Returns (levels (35,N,N), recon (35,N,N), cost (35,) int64).
+    """
+    log2 = size.bit_length() - 1
+    refs = intra_ops.prepare_refs(top, left, corner, has_left, has_top,
+                                  size=size, c_idx=c_idx,
+                                  strong_smoothing=strong_smoothing)
+    preds = intra_ops.predict_all_modes(*refs, size=size, c_idx=c_idx)
+    resid = orig[None].astype(I32) - preds
+    is_dst = (c_idx == 0 and size == 4)
+    coeff = tx_ops.forward_transform(resid, is_dst=is_dst)
+    levels = quant_ops.quantize(coeff, qp, log2, is_intra=True)
+    deq = quant_ops.dequantize(levels, qp, log2)
+    r = tx_ops.inverse_transform(deq, is_dst=is_dst)
+    any_nz = jnp.any(levels != 0, axis=(-1, -2))
+    r = jnp.where(any_nz[:, None, None], r, 0)
+    recon = jnp.clip(preds + r, 0, 255)
+    diff = orig[None].astype(I32) - recon
+    ssd = jnp.sum(diff * diff, axis=(-1, -2))          # <= 64*64*255^2 < 2^31
+    nz = jnp.sum((levels != 0).astype(I32), axis=(-1, -2))
+    bits = 6 + 4 * nz
+    # int32-safe fixed-point cost (lam_fx = 256*lambda; split shift so the
+    # product fits int32 even at QP51 with all coeffs nonzero)
+    cost = ssd + (((lam_fx >> 4) * bits) >> 4)
+    return levels, recon.astype(I32), cost
+
+
+def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
+             strong_smoothing):
+    """Process block (r, c=d-2r) of the diagonal (one vmap lane)."""
+    y_pad, u_pad, v_pad = planes
+    bot_y, right_y, bot_u, right_u, bot_v, right_v = state
+    B2 = B // 2
+    W2 = W // 2
+
+    c = d - 2 * r
+    valid = (c >= 0) & (c < nbx)
+    cc = jnp.clip(c, 0, nbx - 1)
+    has_top = r > 0
+    has_left = cc > 0
+
+    def refs_for(bot, right, x0, n, w):
+        rm1 = jnp.maximum(r - 1, 0)
+        trow = bot[rm1]                       # (w,)
+        xs = jnp.clip(x0 + jnp.arange(2 * n), 0, w - 1)
+        top = trow[xs]
+        lcol = right[r]                       # (n,)
+        left = jnp.concatenate([lcol, jnp.full((n,), 1, lcol.dtype) * lcol[n - 1]])
+        corner = trow[jnp.clip(x0 - 1, 0, w - 1)]
+        return top.astype(I32), left.astype(I32), corner.astype(I32)
+
+    # ---- luma ----
+    x0 = cc * B
+    orig = jax.lax.dynamic_slice(y_pad, (r * B, x0), (B, B))
+    top, left, corner = refs_for(bot_y, right_y, x0, B, W)
+    levels35, recon35, cost = _encode_block_all_modes(
+        orig, top, left, corner, has_left, has_top,
+        size=B, c_idx=0, qp=qp, lam_fx=lam,
+        strong_smoothing=strong_smoothing)
+    mode = jnp.argmin(cost).astype(I32)
+    lev_y = levels35[mode]
+    rec_y = recon35[mode]
+
+    # ---- chroma (derived mode) ----
+    cx0 = cc * B2
+    def chroma(plane, bot, right, c_idx, qpc):
+        o = jax.lax.dynamic_slice(plane, (r * B2, cx0), (B2, B2))
+        t, l, co = refs_for(bot, right, cx0, B2, W2)
+        lv35, rc35, _ = _encode_block_all_modes(
+            o, t, l, co, has_left, has_top, size=B2, c_idx=c_idx, qp=qpc,
+            lam_fx=lam_c, strong_smoothing=False)
+        return lv35[mode], rc35[mode]
+
+    lev_u, rec_u = chroma(u_pad, bot_u, right_u, 1, qp_c)
+    lev_v, rec_v = chroma(v_pad, bot_v, right_v, 2, qp_c)
+
+    return dict(valid=valid, cc=cc, mode=mode,
+                lev_y=lev_y, rec_y=rec_y, lev_u=lev_u, rec_u=rec_u,
+                lev_v=lev_v, rec_v=rec_v)
+
+
+@functools.partial(jax.jit, static_argnames=("B", "qp", "strong_smoothing"))
+def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp: int,
+                       strong_smoothing: bool = True):
+    """Encode one padded frame all-intra with CU = TU = B.
+
+    Returns dict of: modes (nby,nbx), levels (nby,nbx,B,B) + chroma,
+    recon planes.
+    """
+    H, W = y_pad.shape
+    nby, nbx = H // B, W // B
+    B2 = B // 2
+    qp_c = int(tables.chroma_qp_from_luma(qp))
+    lam = lambda_fx(qp)
+    lam_c = lambda_fx(qp_c)
+
+    planes = (y_pad.astype(I32), u_pad.astype(I32), v_pad.astype(I32))
+
+    state0 = dict(
+        bot_y=jnp.zeros((nby, W), I32), right_y=jnp.zeros((nby, B), I32),
+        bot_u=jnp.zeros((nby, W // 2), I32), right_u=jnp.zeros((nby, B2), I32),
+        bot_v=jnp.zeros((nby, W // 2), I32), right_v=jnp.zeros((nby, B2), I32),
+        modes=jnp.zeros((nby, nbx), I32),
+        lev_y=jnp.zeros((nby, nbx, B, B), I32),
+        lev_u=jnp.zeros((nby, nbx, B2, B2), I32),
+        lev_v=jnp.zeros((nby, nbx, B2, B2), I32),
+        rec_y=jnp.zeros((nby, nbx, B, B), I32),
+        rec_u=jnp.zeros((nby, nbx, B2, B2), I32),
+        rec_v=jnp.zeros((nby, nbx, B2, B2), I32),
+    )
+
+    lane = functools.partial(
+        _lane_fn, B=B, nbx=nbx, W=W, qp=qp, qp_c=qp_c, lam=lam, lam_c=lam_c,
+        strong_smoothing=strong_smoothing)
+    rs = jnp.arange(nby)
+
+    def body(d, st):
+        outs = jax.vmap(
+            lambda r: lane(r, d,
+                           planes,
+                           (st["bot_y"], st["right_y"], st["bot_u"],
+                            st["right_u"], st["bot_v"], st["right_v"])))(rs)
+        v = outs["valid"]
+        cc = outs["cc"]
+
+        def scatter_blocks(arr, new):
+            old = arr[rs, cc]
+            return arr.at[rs, cc].set(jnp.where(v[:, None, None], new, old))
+
+        def scatter_row(bot, new_bottom, x0s, n):
+            cols = x0s[:, None] + jnp.arange(n)[None, :]
+            old = bot[rs[:, None], cols]
+            return bot.at[rs[:, None], cols].set(
+                jnp.where(v[:, None], new_bottom, old))
+
+        x0s = cc * B
+        cx0s = cc * B2
+        st = dict(st)
+        st["modes"] = st["modes"].at[rs, cc].set(
+            jnp.where(v, outs["mode"], st["modes"][rs, cc]))
+        for key in ("lev_y", "rec_y", "lev_u", "rec_u", "lev_v", "rec_v"):
+            st[key] = scatter_blocks(st[key], outs[key])
+        st["bot_y"] = scatter_row(st["bot_y"], outs["rec_y"][:, -1, :], x0s, B)
+        st["bot_u"] = scatter_row(st["bot_u"], outs["rec_u"][:, -1, :], cx0s, B2)
+        st["bot_v"] = scatter_row(st["bot_v"], outs["rec_v"][:, -1, :], cx0s, B2)
+        st["right_y"] = jnp.where(v[:, None], outs["rec_y"][:, :, -1], st["right_y"])
+        st["right_u"] = jnp.where(v[:, None], outs["rec_u"][:, :, -1], st["right_u"])
+        st["right_v"] = jnp.where(v[:, None], outs["rec_v"][:, :, -1], st["right_v"])
+        return st
+
+    ndiag = nbx + 2 * (nby - 1)
+    st = jax.lax.fori_loop(0, ndiag, body, state0)
+
+    def blocks_to_plane(blocks, n):
+        return blocks.transpose(0, 2, 1, 3).reshape(nby * n, nbx * n)
+
+    return dict(
+        modes=st["modes"],
+        lev_y=st["lev_y"], lev_u=st["lev_u"], lev_v=st["lev_v"],
+        recon_y=blocks_to_plane(st["rec_y"], B).astype(jnp.uint8),
+        recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),
+        recon_v=blocks_to_plane(st["rec_v"], B2).astype(jnp.uint8),
+    )
