@@ -192,6 +192,25 @@ def chroma_qp_from_luma(qp_i: np.ndarray | int) -> np.ndarray | int:
 
 
 # ---------------------------------------------------------------------------
+# Deblocking filter thresholds (spec Table 8-12)
+# ---------------------------------------------------------------------------
+
+# beta' indexed by Q = Clip3(0, 51, qpL + beta_offset).
+DEBLOCK_BETA = np.array(
+    [0] * 16 +
+    [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24,
+     26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56,
+     58, 60, 62, 64], dtype=np.int32)
+
+# tc' indexed by Q = Clip3(0, 53, qpL + 2*(bS-1) + tc_offset).
+DEBLOCK_TC = np.array(
+    [0] * 18 +
+    [1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4,
+     5, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24],
+    dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
 # last_sig_coeff binarization tables (spec 9.3.3.x; HM g_uiGroupIdx/g_uiMinInGroup)
 # ---------------------------------------------------------------------------
 
