@@ -31,10 +31,11 @@ INTRA_PLANAR, INTRA_DC, INTRA_HOR, INTRA_VER = 0, 1, 10, 26
 
 @dataclass
 class CtuPlan:
-    """Dense description of one coded CTU (all-intra for now).
+    """Dense description of one coded CTU.
 
     All unit-granular maps are (units, units) where units = ctu_size // 4,
-    matching the reference's 4x4-granularity bookkeeping.
+    matching the reference's 4x4-granularity bookkeeping. Inter fields are
+    None for all-intra CTUs.
     """
     x0: int                      # luma position of CTU in the picture
     y0: int
@@ -46,6 +47,13 @@ class CtuPlan:
     coeff_y: np.ndarray          # (ctu, ctu) int32, spatial layout
     coeff_cb: np.ndarray         # (ctu/2, ctu/2)
     coeff_cr: np.ndarray
+    # ---- inter (P/B slices); unit-granular, CU-constant ----
+    pred_intra: np.ndarray = None  # bool: CU coded as intra
+    skip: np.ndarray = None        # bool: cu_skip_flag
+    merge_flag: np.ndarray = None  # bool (valid where inter, non-skip)
+    merge_idx: np.ndarray = None   # int8
+    mvd: np.ndarray = None         # (units, units, 2) int32
+    mvp_idx: np.ndarray = None     # int8
 
 
 class SliceSyntaxEncoder:
@@ -55,7 +63,8 @@ class SliceSyntaxEncoder:
     def __init__(self, enc: CabacEncoder, ctxs: ContextSet, *,
                  pic_width: int, pic_height: int, ctu_log2: int,
                  min_cu_log2: int, max_tr_depth_intra: int,
-                 sign_hiding: bool, slice_type: int = SLICE_I):
+                 sign_hiding: bool, slice_type: int = SLICE_I,
+                 max_tr_depth_inter: int = 0, max_merge_cand: int = 5):
         self.enc = enc
         self.ctxs = ctxs
         self.pic_width = pic_width
@@ -63,6 +72,7 @@ class SliceSyntaxEncoder:
         self.ctu_log2 = ctu_log2
         self.min_cu_log2 = min_cu_log2
         self.max_tr_depth_intra = max_tr_depth_intra
+        self.max_tr_depth_inter = max_tr_depth_inter
         self.sign_hiding = sign_hiding
         self.slice_type = slice_type
         # Frame-level 4x4-unit grids for cross-CU context derivation.
@@ -72,6 +82,8 @@ class SliceSyntaxEncoder:
         self.frame_intra_mode = np.full((uh, uw), INTRA_DC, dtype=np.int8)
         self.frame_is_intra = np.zeros((uh, uw), dtype=bool)
         self.frame_avail = np.zeros((uh, uw), dtype=bool)
+        self.frame_skip = np.zeros((uh, uw), dtype=bool)
+        self.max_merge_cand = max_merge_cand
 
     # ------------------------------------------------------------------ CTU
     def encode_ctu(self, plan: CtuPlan, *, is_last: bool) -> None:
@@ -120,10 +132,122 @@ class SliceSyntaxEncoder:
         plan = self._plan
         ux, uy = self._unit(x0, y0)
         un = (1 << log2_size) // 4
-        part_nxn = bool(plan.part_nxn[uy, ux])
 
-        # I slice: no cu_skip_flag, pred_mode inferred INTRA.
-        assert self.slice_type == SLICE_I
+        if self.slice_type != SLICE_I:
+            self._inter_coding_unit(x0, y0, log2_size, depth)
+            return
+        self._intra_coding_unit(x0, y0, log2_size, depth)
+
+    # -------------------------------------------------- inter CU (P slice)
+    def _mark_cu(self, x0, y0, log2_size, depth, *, is_intra, skip):
+        un = (1 << log2_size) // 4
+        gx0, gy0 = x0 // 4, y0 // 4
+        self.frame_depth[gy0:gy0 + un, gx0:gx0 + un] = depth
+        self.frame_is_intra[gy0:gy0 + un, gx0:gx0 + un] = is_intra
+        self.frame_skip[gy0:gy0 + un, gx0:gx0 + un] = skip
+        self.frame_avail[gy0:gy0 + un, gx0:gx0 + un] = True
+
+    def _inter_coding_unit(self, x0, y0, log2_size, depth) -> None:
+        plan = self._plan
+        ux, uy = self._unit(x0, y0)
+        gx, gy = x0 // 4, y0 // 4
+
+        # cu_skip_flag, ctx from left/above skip flags (spec 9.3.4.2.2).
+        skip = bool(plan.skip[uy, ux])
+        ctx = 0
+        if gx > 0 and self.frame_avail[gy, gx - 1]:
+            ctx += int(self.frame_skip[gy, gx - 1])
+        if gy > 0 and self.frame_avail[gy - 1, gx]:
+            ctx += int(self.frame_skip[gy - 1, gx])
+        self.enc.encode_bin(self.ctxs, OFF["SKIP"] + ctx, int(skip))
+        if skip:
+            self._merge_idx(int(plan.merge_idx[uy, ux]))
+            self._mark_cu(x0, y0, log2_size, depth, is_intra=False, skip=True)
+            return
+
+        is_intra = bool(plan.pred_intra[uy, ux]) if plan.pred_intra is not None else False
+        self.enc.encode_bin(self.ctxs, OFF["PRED_MODE"], int(is_intra))
+        if is_intra:
+            self._intra_coding_unit(x0, y0, log2_size, depth)
+            return
+
+        # part_mode: inter 2Nx2N only for now -> first bin = 1 (spec 9.3.3.7).
+        self.enc.encode_bin(self.ctxs, OFF["PART_SIZE"], 1)
+
+        # prediction_unit (7.3.8.6), single 2Nx2N PU, P slice (PRED_L0
+        # inferred, one reference picture so ref_idx_l0 not coded).
+        merge = bool(plan.merge_flag[uy, ux])
+        self.enc.encode_bin(self.ctxs, OFF["MERGE_FLAG"], int(merge))
+        if merge:
+            self._merge_idx(int(plan.merge_idx[uy, ux]))
+        else:
+            self._mvd_coding(int(plan.mvd[uy, ux, 0]), int(plan.mvd[uy, ux, 1]))
+            self.enc.encode_bin(self.ctxs, OFF["MVP_IDX"],
+                                int(plan.mvp_idx[uy, ux]))
+
+        self._mark_cu(x0, y0, log2_size, depth, is_intra=False, skip=False)
+
+        # rqt_root_cbf (7.3.8.5): coded unless merge 2Nx2N (then inferred 1).
+        size = 1 << log2_size
+        lx, ly = x0 - plan.x0, y0 - plan.y0
+        has_resid = (bool(np.any(plan.coeff_y[ly:ly + size, lx:lx + size]))
+                     or bool(np.any(plan.coeff_cb[ly // 2:(ly + size) // 2,
+                                                  lx // 2:(lx + size) // 2]))
+                     or bool(np.any(plan.coeff_cr[ly // 2:(ly + size) // 2,
+                                                  lx // 2:(lx + size) // 2])))
+        if not merge:
+            self.enc.encode_bin(self.ctxs, OFF["ROOT_CBF"], int(has_resid))
+        else:
+            assert has_resid, "merge 2Nx2N without residual must be skip"
+        if has_resid:
+            self._transform_tree(x0, y0, x0, y0, log2_size, 0, 0,
+                                 intra_split=False,
+                                 max_depth=self.max_tr_depth_inter,
+                                 cbf_cb_parent=True, cbf_cr_parent=True,
+                                 is_intra=False)
+
+    def _merge_idx(self, idx: int) -> None:
+        """merge_idx: TR cMax = MaxNumMergeCand-1; bin 0 ctx, rest bypass."""
+        cmax = self.max_merge_cand - 1
+        if cmax == 0:
+            return
+        self.enc.encode_bin(self.ctxs, OFF["MERGE_IDX"], int(idx > 0))
+        if idx > 0:
+            for k in range(1, idx):
+                self.enc.encode_bypass(1)
+            if idx < cmax:
+                self.enc.encode_bypass(0)
+
+    def _mvd_coding(self, mvd_x: int, mvd_y: int) -> None:
+        """mvd_coding() (7.3.8.9): greater0/greater1 ctx bins, EG1 remainder."""
+        ax, ay = abs(mvd_x), abs(mvd_y)
+        self.enc.encode_bin(self.ctxs, OFF["MVD"], int(ax > 0))
+        self.enc.encode_bin(self.ctxs, OFF["MVD"], int(ay > 0))
+        if ax > 0:
+            self.enc.encode_bin(self.ctxs, OFF["MVD"] + 1, int(ax > 1))
+        if ay > 0:
+            self.enc.encode_bin(self.ctxs, OFF["MVD"] + 1, int(ay > 1))
+        for a, v in ((ax, mvd_x), (ay, mvd_y)):
+            if a > 0:
+                if a > 1:
+                    self._encode_egk(a - 2, 1)
+                self.enc.encode_bypass(int(v < 0))
+
+    def _encode_egk(self, value: int, k: int) -> None:
+        while value >= (1 << k):
+            self.enc.encode_bypass(1)
+            value -= 1 << k
+            k += 1
+        self.enc.encode_bypass(0)
+        if k:
+            self.enc.encode_bypass_bins(value, k)
+
+    # -------------------------------------------------------------- intra CU
+    def _intra_coding_unit(self, x0, y0, log2_size, depth) -> None:
+        plan = self._plan
+        ux, uy = self._unit(x0, y0)
+        un = (1 << log2_size) // 4
+        part_nxn = bool(plan.part_nxn[uy, ux])
 
         if log2_size == self.min_cu_log2:
             # part_mode: 1 = PART_2Nx2N, 0 = PART_NxN (intra, spec 9.3.3.7).
@@ -230,7 +354,7 @@ class SliceSyntaxEncoder:
 
     def _transform_tree(self, x0, y0, xbase, ybase, log2_size, trafo_depth,
                         blk_idx, *, intra_split, max_depth,
-                        cbf_cb_parent, cbf_cr_parent) -> None:
+                        cbf_cb_parent, cbf_cr_parent, is_intra=True) -> None:
         max_tb_log2, min_tb_log2 = 5, 2
         split = self._tr_split(x0, y0, trafo_depth)
         explicit = (log2_size <= max_tb_log2 and log2_size > min_tb_log2
@@ -264,14 +388,19 @@ class SliceSyntaxEncoder:
                 self._transform_tree(x0 + dx, y0 + dy, x0, y0, log2_size - 1,
                                      trafo_depth + 1, i,
                                      intra_split=intra_split, max_depth=max_depth,
-                                     cbf_cb_parent=cbf_cb, cbf_cr_parent=cbf_cr)
+                                     cbf_cb_parent=cbf_cb, cbf_cr_parent=cbf_cr,
+                                     is_intra=is_intra)
             return
 
-        # Leaf: cbf_luma (always coded for intra), transform_unit.
+        # Leaf: cbf_luma — coded for intra always; for inter inferred 1 when
+        # trafo_depth == 0 and both chroma cbfs are 0 (spec 7.3.8.8).
         cbf_luma = self._cbf(x0, y0, log2_size, 0)
-        self.enc.encode_bin(self.ctxs,
-                            OFF["CBF_LUMA"] + (1 if trafo_depth == 0 else 0),
-                            int(cbf_luma))
+        if is_intra or trafo_depth != 0 or cbf_cb or cbf_cr:
+            self.enc.encode_bin(self.ctxs,
+                                OFF["CBF_LUMA"] + (1 if trafo_depth == 0 else 0),
+                                int(cbf_luma))
+        else:
+            assert cbf_luma, "rqt_root_cbf=1 with all-zero residual"
         # transform_unit (7.3.8.10).
         if cbf_luma:
             self._residual_coding(x0, y0, log2_size, 0)
@@ -291,21 +420,25 @@ class SliceSyntaxEncoder:
     def _residual_coding(self, x0, y0, log2_size, c_idx) -> None:
         plan = self._plan
         size = 1 << log2_size
+        ux, uy = self._unit(x0, y0)
+        cu_intra = (self.slice_type == SLICE_I
+                    or (plan.pred_intra is not None and bool(plan.pred_intra[uy, ux])
+                        and not (plan.skip is not None and plan.skip[uy, ux])))
         if c_idx == 0:
             lx, ly = x0 - plan.x0, y0 - plan.y0
             coeffs = plan.coeff_y[ly:ly + size, lx:lx + size]
-            ux, uy = self._unit(x0, y0)
             pred_mode = int(plan.luma_mode[uy, ux])
         else:
             cx, cy = (x0 - plan.x0) // 2, (y0 - plan.y0) // 2
             arr = plan.coeff_cb if c_idx == 1 else plan.coeff_cr
             coeffs = arr[cy:cy + size, cx:cx + size]
-            ux, uy = self._unit(x0, y0)
             pred_mode = int(plan.chroma_mode[uy, ux])
             if pred_mode == 34 or pred_mode == -1:
                 pred_mode = int(plan.luma_mode[uy, ux])
 
-        scan_idx = tables.scan_mode_for_intra(log2_size, pred_mode, c_idx)
+        # Scan selection applies to intra TBs only; inter is always diagonal.
+        scan_idx = (tables.scan_mode_for_intra(log2_size, pred_mode, c_idx)
+                    if cu_intra else tables.SCAN_DIAG)
         encode_residual_block(self.enc, self.ctxs, coeffs, log2_size, c_idx,
                               scan_idx, self.sign_hiding)
 
@@ -373,6 +506,11 @@ def encode_residual_block(enc, ctxs, coeffs: np.ndarray, log2_size: int,
                     infer_sb_dc_sig = False
             if sig:
                 sig_pos.append(pos)
+
+        if not sig_pos:
+            # DC subblock with inferred csbf=1 but no significant coeffs
+            # (all sig flags coded 0) — nothing further to code.
+            continue
 
         # sig_pos is in reverse scan order (high freq -> DC).
         levels = [int(abs(in_scan[p])) for p in sig_pos]

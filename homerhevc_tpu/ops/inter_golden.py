@@ -1,0 +1,165 @@
+"""Decoder-exact inter candidate derivation: merge list (spec 8.5.3.2.3),
+AMVP list (spec 8.5.3.2.6), and inter boundary-strength maps for deblocking
+(spec 8.7.2.4).
+
+Role of the reference's hmr_motion_inter.c:1937-2470 (merge + AMVP spatial
+candidate derivation). These must match the conformance decoder's derivation
+bit-exactly — the encoder signals *indices* into these lists.
+
+The motion field is unit-granular (4x4 luma units), the TPU-side analog of
+the reference's ctu_info_t per-unit arrays (hmr_private.h:792-843):
+  mv      (uh, uw, 2) int32, quarter-pel
+  ref_idx (uh, uw) int32: >=0 inter, -1 intra, -2 not yet coded / outside
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class MotionField:
+    """Per-4x4-unit coding state for one picture (decode order)."""
+    uh: int
+    uw: int
+    mv: np.ndarray = field(default=None)
+    ref_idx: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        if self.mv is None:
+            self.mv = np.zeros((self.uh, self.uw, 2), np.int32)
+        if self.ref_idx is None:
+            self.ref_idx = np.full((self.uh, self.uw), -2, np.int32)
+
+    def unit(self, x: int, y: int):
+        """(mv, ref_idx) at luma sample position (x, y); None if unavailable."""
+        if x < 0 or y < 0 or x >= self.uw * 4 or y >= self.uh * 4:
+            return None
+        ux, uy = x // 4, y // 4
+        r = int(self.ref_idx[uy, ux])
+        if r < 0:
+            return None if r == -2 else ("intra",)
+        return (int(self.mv[uy, ux, 0]), int(self.mv[uy, ux, 1]), r)
+
+    def set_cu(self, x0: int, y0: int, size: int, mv_xy, ref: int):
+        ux, uy, un = x0 // 4, y0 // 4, size // 4
+        self.mv[uy:uy + un, ux:ux + un] = mv_xy
+        self.ref_idx[uy:uy + un, ux:ux + un] = ref
+
+
+def _inter_at(fld: MotionField, x: int, y: int):
+    u = fld.unit(x, y)
+    if u is None or u == ("intra",):
+        return None
+    return u                                   # (mvx, mvy, ref)
+
+
+def merge_candidates(fld: MotionField, x0: int, y0: int, size: int,
+                     max_cand: int = 5):
+    """Spatial + zero merge candidates for a 2Nx2N PU (P slice, no TMVP).
+
+    Returns list of (mvx, mvy, ref) of length max_cand.
+    """
+    a1 = _inter_at(fld, x0 - 1, y0 + size - 1)
+    b1 = _inter_at(fld, x0 + size - 1, y0 - 1)
+    b0 = _inter_at(fld, x0 + size, y0 - 1)
+    a0 = _inter_at(fld, x0 - 1, y0 + size)
+    b2 = _inter_at(fld, x0 - 1, y0 - 1)
+
+    cands = []
+    n_spatial = 0
+    if a1 is not None:
+        cands.append(a1)
+        n_spatial += 1
+    if b1 is not None:
+        n_spatial += 1
+        if a1 is None or b1 != a1:
+            cands.append(b1)
+    if b0 is not None:
+        n_spatial += 1
+        if b1 is None or b0 != b1:
+            cands.append(b0)
+    if a0 is not None:
+        n_spatial += 1
+        if a1 is None or a0 != a1:
+            cands.append(a0)
+    if n_spatial != 4 and b2 is not None:
+        if (a1 is None or b2 != a1) and (b1 is None or b2 != b1):
+            cands.append(b2)
+    cands = cands[:max_cand]
+    while len(cands) < max_cand:
+        cands.append((0, 0, 0))               # zero candidates (one ref pic)
+    return cands
+
+
+def amvp_candidates(fld: MotionField, x0: int, y0: int, size: int):
+    """AMVP list [mvp0, mvp1] for refIdxL0 = 0 (one reference picture, no
+    temporal MVP, so no scaling branches apply)."""
+    def first_same_ref(points):
+        for (x, y) in points:
+            u = _inter_at(fld, x, y)
+            if u is not None and u[2] == 0:
+                return (u[0], u[1])
+        return None
+
+    mv_a = first_same_ref([(x0 - 1, y0 + size), (x0 - 1, y0 + size - 1)])
+    mv_b = first_same_ref([(x0 + size, y0 - 1), (x0 + size - 1, y0 - 1),
+                           (x0 - 1, y0 - 1)])
+    cands = []
+    if mv_a is not None:
+        cands.append(mv_a)
+    if mv_b is not None and (mv_a is None or mv_b != mv_a):
+        cands.append(mv_b)
+    while len(cands) < 2:
+        cands.append((0, 0))
+    return cands
+
+
+# --------------------------------------------------------------------------
+# Inter deblocking boundary strength (spec 8.7.2.4)
+# --------------------------------------------------------------------------
+
+def inter_bs_maps(fld: MotionField, tu_left: np.ndarray, tu_top: np.ndarray,
+                  pu_left: np.ndarray, pu_top: np.ndarray,
+                  cbf_y_unit: np.ndarray):
+    """Derive bs_v (uh, uw//2) / bs_h (uh//2, uw) from unit-granular state.
+
+    tu_left/tu_top: unit starts a TU horizontally / vertically.
+    pu_left/pu_top: unit starts a PU (CU for 2Nx2N) horizontally/vertically.
+    cbf_y_unit: luma cbf of the TU covering each unit.
+    bS: 2 if either side intra; 1 if TU edge with nonzero cbf on either side
+    or PU/TU edge with |mv delta| >= 4 quarter-pel (one ref pic: same ref);
+    else 0. Only 8-grid edges kept.
+    """
+    uh, uw = fld.ref_idx.shape
+    is_intra = fld.ref_idx == -1
+
+    def bs_dir(tu_edge, pu_edge, axis):
+        # edge between unit u and its left (axis=1) / top (axis=0) neighbor
+        if axis == 1:
+            sl_p, sl_q = (slice(None), slice(None, -1)), (slice(None), slice(1, None))
+        else:
+            sl_p, sl_q = (slice(None, -1), slice(None)), (slice(1, None), slice(None))
+        p_int, q_int = is_intra[sl_p], is_intra[sl_q]
+        p_cbf, q_cbf = cbf_y_unit[sl_p], cbf_y_unit[sl_q]
+        dmv = np.abs(fld.mv[sl_q] - fld.mv[sl_p]).max(axis=-1)
+        tu_e = tu_edge[sl_q]
+        any_e = tu_e | pu_edge[sl_q]
+        bs = np.zeros_like(dmv, np.int32)
+        # spec 8.7.2.4: cbf condition only on TU edges; mv/ref condition on
+        # any (TU or PU) block edge.
+        cond1 = (~(p_int | q_int)
+                 & ((tu_e & (p_cbf | q_cbf)) | (any_e & (dmv >= 4))))
+        bs[cond1] = 1
+        bs[any_e & (p_int | q_int)] = 2
+        return bs
+
+    bs_left = bs_dir(tu_left, pu_left, 1)     # (uh, uw-1): edge left of unit j+1
+    bs_top = bs_dir(tu_top, pu_top, 0)        # (uh-1, uw)
+    bs_v = np.zeros((uh, uw // 2), np.int32)
+    bs_v[:, 1:] = bs_left[:, 1::2]            # unit col 2j (j>=1): luma col 8j
+    bs_h = np.zeros((uh // 2, uw), np.int32)
+    bs_h[1:, :] = bs_top[1::2, :]
+    return bs_v, bs_h

@@ -17,7 +17,8 @@ from ..entropy.syntax import SliceSyntaxEncoder
 def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
                       slice_type: int = headers.SLICE_I,
                       pic_width: int | None = None,
-                      pic_height: int | None = None) -> bytes:
+                      pic_height: int | None = None,
+                      max_merge_cand: int = 5) -> bytes:
     """CABAC-encode all CTUs of one slice into slice-data bytes."""
     bw = bs.BitWriter()
     init_type = {headers.SLICE_I: 0, headers.SLICE_P: 1, headers.SLICE_B: 2}[slice_type]
@@ -30,8 +31,10 @@ def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
         ctu_log2=params.ctu_log2,
         min_cu_log2=params.min_cu_log2,
         max_tr_depth_intra=params.max_tr_depth_intra,
+        max_tr_depth_inter=params.max_tr_depth_inter,
         sign_hiding=params.sign_hiding,
-        slice_type=slice_type)
+        slice_type=slice_type,
+        max_merge_cand=max_merge_cand)
     for i, plan in enumerate(plans):
         syn.encode_ctu(plan, is_last=(i == len(plans) - 1))
     bw.align_zero()   # after terminate(1) flush the stream is aligned... pad
@@ -53,3 +56,15 @@ def assemble_idr_au(params: headers.StreamParams, plans, *, slice_qp: int,
                                                        slice_qp=slice_qp)
     out += bs.annexb_wrap(bs.nal_unit(bs.NAL_IDR_W_RADL, slice_payload), True)
     return bytes(out)
+
+
+def assemble_p_au(params: headers.StreamParams, plans, *, poc: int,
+                  slice_qp: int, max_merge_cand: int = 5) -> bytes:
+    """Build one P (TRAIL_R) access unit."""
+    sh = headers.write_slice_header(
+        params, slice_type=headers.SLICE_P, is_idr=False, is_irap=False,
+        poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand)
+    payload = sh.get_bytes() + encode_slice_data(
+        params, plans, slice_qp=slice_qp, slice_type=headers.SLICE_P,
+        max_merge_cand=max_merge_cand)
+    return bs.annexb_wrap(bs.nal_unit(bs.NAL_TRAIL_R, payload), True)

@@ -1,0 +1,103 @@
+"""Sequence orchestration: GOP assembly, reference management, loop filter,
+AU emission — the host-side role of the reference's engine loop
+(hmr_encoder_lib.c:3132-3412) and frame ingestion (:262-431).
+
+v1 structure: IDR + IPPP (gop_size 1), one reference frame, fixed QP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import tables
+from ..entropy import headers
+from ..ops import deblock
+from ..ops.inter_golden import inter_bs_maps
+from . import assemble, intra_golden, p_golden
+
+
+@dataclass
+class SequenceResult:
+    stream: bytes
+    recons: list              # deblocked (y, u, v) per frame (decoder output)
+    per_frame_bytes: list
+
+
+def _deblock_intra(recon, qp, h, w, tu_size, enabled):
+    if not enabled:
+        return tuple(p.astype(np.uint8) for p in recon)
+    bs_v, bs_h = deblock.intra_edge_maps(h, w, tu_size)
+    qp_map = np.full((h // 4, w // 4), qp, np.int32)
+    fy, fu, fv = deblock.deblock_frame(
+        *(p.astype(np.int32) for p in recon),
+        bs_v=bs_v, bs_h=bs_h, qp_map=qp_map)
+    return (fy.astype(np.uint8), fu.astype(np.uint8), fv.astype(np.uint8))
+
+
+def _deblock_inter(recon, qp, h, w, tu_size, fld, cbf_y_unit, enabled):
+    if not enabled:
+        return tuple(p.astype(np.uint8) for p in recon)
+    uh, uw = h // 4, w // 4
+    step = tu_size // 4
+    tu_left = np.zeros((uh, uw), bool)
+    tu_left[:, step::step] = True
+    tu_top = np.zeros((uh, uw), bool)
+    tu_top[step::step, :] = True
+    bs_v, bs_h = inter_bs_maps(fld, tu_left, tu_top, tu_left, tu_top,
+                               cbf_y_unit)
+    qp_map = np.full((uh, uw), qp, np.int32)
+    fy, fu, fv = deblock.deblock_frame(
+        *(p.astype(np.int32) for p in recon),
+        bs_v=bs_v, bs_h=bs_h, qp_map=qp_map)
+    return (fy.astype(np.uint8), fu.astype(np.uint8), fv.astype(np.uint8))
+
+
+def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
+                deblocking: bool = True, search: int = 16,
+                me_precision: int = 2, max_merge_cand: int = 5,
+                intra_period: int = 0) -> SequenceResult:
+    """Encode frames as IDR + P, P, ... (intra_period 0 = first frame only).
+
+    `frames`: iterable of (y, u, v) uint8 planes, dims multiple of CTU size.
+    """
+    size = 1 << ctu_log2
+    stream = bytearray()
+    recons = []
+    per_frame = []
+    params = None
+    ref = None
+    last_idr = 0
+
+    for poc, (y, u, v) in enumerate(frames):
+        h, w = y.shape
+        if params is None:
+            params = headers.StreamParams(
+                width=w, height=h, ctu_log2=ctu_log2, min_cu_log2=ctu_log2,
+                max_tu_log2=min(5, ctu_log2), max_tr_depth_intra=0,
+                max_tr_depth_inter=0, init_qp=qp,
+                deblocking_disabled=not deblocking, num_ref_frames=1)
+        is_idr = poc == 0 or (intra_period > 0 and poc % intra_period == 0)
+        if is_idr:
+            last_idr = poc
+            plan = intra_golden.encode_intra_frame(y, u, v, qp=qp,
+                                                   ctu_log2=ctu_log2)
+            au = assemble.assemble_idr_au(params, plan.ctu_plans, slice_qp=qp,
+                                          include_parameter_sets=(poc == 0))
+            ref = _deblock_intra(plan.recon, qp, h, w, min(size, 32),
+                                 deblocking)
+        else:
+            pplan = p_golden.encode_p_frame(
+                y, u, v, ref, qp=qp, ctu_log2=ctu_log2, search=search,
+                me_precision=me_precision, max_merge_cand=max_merge_cand)
+            au = assemble.assemble_p_au(params, pplan.ctu_plans,
+                                        poc=poc - last_idr, slice_qp=qp,
+                                        max_merge_cand=max_merge_cand)
+            ref = _deblock_inter(pplan.recon, qp, h, w, min(size, 32),
+                                 pplan.field, pplan.cbf_y_unit, deblocking)
+        stream += au
+        per_frame.append(len(au))
+        recons.append(ref)
+
+    return SequenceResult(bytes(stream), recons, per_frame)
