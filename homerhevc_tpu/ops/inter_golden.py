@@ -117,6 +117,59 @@ def amvp_candidates(fld: MotionField, x0: int, y0: int, size: int):
     return cands
 
 
+def mv_bits_fx(mvx: int, mvy: int) -> int:
+    """Deterministic MV bit proxy: 2*bitlen(|c|) + 1 per component. Shared by
+    the golden and JAX pipelines (must tie-break identically)."""
+    def comp(c):
+        return 1 + 2 * abs(int(c)).bit_length()
+    return comp(mvx) + comp(mvy)
+
+
+def derive_block_decisions(mvs: np.ndarray, has_resid: np.ndarray, size: int,
+                           max_merge_cand: int = 5):
+    """Sequential host walk: merge/skip/AMVP decisions per CU-grid block.
+
+    mvs: (nby, nbx, 2) chosen quarter-pel MVs (x, y); has_resid: (nby, nbx)
+    bool (any nonzero level in Y/Cb/Cr). The MVs themselves do not depend on
+    these decisions, so this exact walk can run after a fully-batched device
+    ME stage — the TPU restructuring of the reference's per-CU sequential
+    mode decision (hmr_motion_inter.c:3746).
+
+    Returns (decisions dict of per-block arrays, MotionField).
+    """
+    nby, nbx = has_resid.shape
+    fld = MotionField(nby * size // 4, nbx * size // 4)
+    skip = np.zeros((nby, nbx), bool)
+    merge = np.zeros((nby, nbx), bool)
+    merge_idx = np.zeros((nby, nbx), np.int8)
+    mvp_idx = np.zeros((nby, nbx), np.int8)
+    mvd = np.zeros((nby, nbx, 2), np.int32)
+
+    for r in range(nby):
+        for c in range(nbx):
+            x0, y0 = c * size, r * size
+            mvx, mvy = int(mvs[r, c, 0]), int(mvs[r, c, 1])
+            hr = bool(has_resid[r, c])
+            mcands = merge_candidates(fld, x0, y0, size, max_merge_cand)
+            mi = next((i for i, cd in enumerate(mcands)
+                       if cd == (mvx, mvy, 0)), -1)
+            if mi >= 0:
+                merge[r, c] = True
+                merge_idx[r, c] = mi
+                skip[r, c] = not hr
+            else:
+                amvp = amvp_candidates(fld, x0, y0, size)
+                b0 = mv_bits_fx(mvx - amvp[0][0], mvy - amvp[0][1])
+                b1 = mv_bits_fx(mvx - amvp[1][0], mvy - amvp[1][1])
+                k = 0 if b0 <= b1 else 1
+                mvp_idx[r, c] = k
+                mvd[r, c] = (mvx - amvp[k][0], mvy - amvp[k][1])
+            fld.set_cu(x0, y0, size, (mvx, mvy), 0)
+
+    return dict(skip=skip, merge=merge, merge_idx=merge_idx,
+                mvp_idx=mvp_idx, mvd=mvd), fld
+
+
 # --------------------------------------------------------------------------
 # Inter deblocking boundary strength (spec 8.7.2.4)
 # --------------------------------------------------------------------------

@@ -57,11 +57,16 @@ def _deblock_inter(recon, qp, h, w, tu_size, fld, cbf_y_unit, enabled):
 def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                 deblocking: bool = True, search: int = 16,
                 me_precision: int = 2, max_merge_cand: int = 5,
-                intra_period: int = 0) -> SequenceResult:
+                intra_period: int = 0,
+                backend: str = "golden") -> SequenceResult:
     """Encode frames as IDR + P, P, ... (intra_period 0 = first frame only).
 
     `frames`: iterable of (y, u, v) uint8 planes, dims multiple of CTU size.
+    backend: "golden" (sequential numpy oracle) or "jax" (batched device
+    pipelines; bit-identical output).
     """
+    if backend not in ("golden", "jax"):
+        raise ValueError(f"unknown backend {backend!r}; use 'golden' or 'jax'")
     size = 1 << ctu_log2
     stream = bytearray()
     recons = []
@@ -81,14 +86,29 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
         is_idr = poc == 0 or (intra_period > 0 and poc % intra_period == 0)
         if is_idr:
             last_idr = poc
-            plan = intra_golden.encode_intra_frame(y, u, v, qp=qp,
-                                                   ctu_log2=ctu_log2)
-            au = assemble.assemble_idr_au(params, plan.ctu_plans, slice_qp=qp,
+            if backend == "jax":
+                import jax.numpy as jnp
+
+                from . import intra_jax, plans as plans_mod
+                out = intra_jax.encode_frame_intra(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    B=size, qp=qp)
+                ctu_plans = plans_mod.plans_from_fixed_grid(out, size)
+                recon = (np.asarray(out["recon_y"]),
+                         np.asarray(out["recon_u"]),
+                         np.asarray(out["recon_v"]))
+            else:
+                plan = intra_golden.encode_intra_frame(y, u, v, qp=qp,
+                                                       ctu_log2=ctu_log2)
+                ctu_plans, recon = plan.ctu_plans, plan.recon
+            au = assemble.assemble_idr_au(params, ctu_plans, slice_qp=qp,
                                           include_parameter_sets=(poc == 0))
-            ref = _deblock_intra(plan.recon, qp, h, w, min(size, 32),
-                                 deblocking)
+            ref = _deblock_intra(recon, qp, h, w, min(size, 32), deblocking)
         else:
-            pplan = p_golden.encode_p_frame(
+            p_enc = p_golden
+            if backend == "jax":
+                from . import p_jax as p_enc
+            pplan = p_enc.encode_p_frame(
                 y, u, v, ref, qp=qp, ctu_log2=ctu_log2, search=search,
                 me_precision=me_precision, max_merge_cand=max_merge_cand)
             au = assemble.assemble_p_au(params, pplan.ctu_plans,

@@ -5,10 +5,10 @@ Role of the reference's motion_inter path (hmr_motion_inter.c:1404-1779 ME,
 point: CU = PU = TU = CTU (2Nx2N), one L0 reference, full-window integer
 search + half/quarter refinement, merge/skip by MV match.
 
-The decision rule is deliberately expressible as (a) a frame-batched device
-stage (ME + MC + transform per block, no intra-frame dependency) plus (b) a
-cheap sequential host walk (merge/AMVP index derivation) — the JAX pipeline
-(p_jax.py) implements the identical rule so both produce the same stream.
+Structured exactly like the TPU pipeline (p_jax.py): stage A — per-block ME
++ MC + transform with NO intra-frame dependency (frame-batched on device);
+stage B — the shared sequential host walk (ops.inter_golden.
+derive_block_decisions). Both pipelines must produce identical streams.
 """
 
 from __future__ import annotations
@@ -20,7 +20,8 @@ import numpy as np
 from .. import tables
 from ..entropy.syntax import CtuPlan
 from ..ops import golden, interp
-from ..ops.inter_golden import MotionField, amvp_candidates, merge_candidates
+from ..ops.inter_golden import (MotionField, derive_block_decisions,
+                                mv_bits_fx)
 
 PAD = 32            # reference padding: search range + 8-tap support
 
@@ -33,14 +34,6 @@ class PFramePlan:
     cbf_y_unit: np.ndarray      # (uh, uw) bool, for deblock BS
 
 
-def mv_bits_fx(mvx: int, mvy: int) -> int:
-    """Deterministic MV bit proxy: 2*bitlen(|c|) + 1 per component."""
-    def comp(c):
-        a = abs(int(c))
-        return 1 + 2 * a.bit_length()
-    return comp(mvx) + comp(mvy)
-
-
 def lambda_me_fx(qp: int) -> int:
     """sqrt(lambda) in x256 fixed point (SAD-domain lambda, HM convention)."""
     lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
@@ -51,8 +44,8 @@ def integer_search(blk: np.ndarray, ref_pad: np.ndarray, x0: int, y0: int,
                    search: int, lam_fx: int) -> tuple[int, int]:
     """Full-window integer-pel search, cost = SAD + lam*bits(4*mv).
 
-    Window order (dy, dx) raster from -search so ties pick smallest dy, dx —
-    matched exactly by the JAX pipeline's argmin.
+    Window scanned in (dy, dx) raster order from -search; ties keep the
+    first minimum — matched exactly by the JAX pipeline's ordered scan.
     """
     size = blk.shape[0]
     n = 2 * search + 1
@@ -70,7 +63,11 @@ def integer_search(blk: np.ndarray, ref_pad: np.ndarray, x0: int, y0: int,
 
 def subpel_refine(blk: np.ndarray, ref_pad: np.ndarray, x0: int, y0: int,
                   mv_int: tuple[int, int], lam_fx: int, precision: int):
-    """Half then quarter refinement (precision 0/1/2 = pel/half/quarter)."""
+    """Half then quarter refinement (precision 0/1/2 = pel/half/quarter).
+
+    Candidates per stage: [center, 8 neighbors in (dy, dx) raster order],
+    strict-less to replace — first minimum wins on ties.
+    """
     mvx, mvy = 4 * mv_int[0], 4 * mv_int[1]
     size = blk.shape[0]
 
@@ -101,6 +98,7 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
     assert h % size == 0 and w % size == 0
     uh, uw = h // 4, w // 4
     units = size // 4
+    nby, nbx = h // size, w // size
     qp_c = int(tables.chroma_qp_from_luma(qp))
     lam_fx = lambda_me_fx(qp)
     log2 = ctu_log2
@@ -109,81 +107,84 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
     ru = interp.pad_plane(ref_planes[1].astype(np.int32), PAD // 2)
     rv = interp.pad_plane(ref_planes[2].astype(np.int32), PAD // 2)
 
+    # ---- stage A: per-block ME + MC + transform (order-independent) ----
+    mvs = np.zeros((nby, nbx, 2), np.int32)
+    lev_y = np.zeros((nby, nbx, size, size), np.int32)
+    lev_u = np.zeros((nby, nbx, size // 2, size // 2), np.int32)
+    lev_v = np.zeros_like(lev_u)
     rec_y = np.zeros((h, w), np.uint8)
     rec_u = np.zeros((h // 2, w // 2), np.uint8)
     rec_v = np.zeros((h // 2, w // 2), np.uint8)
-    fld = MotionField(uh, uw)
-    cbf_y_unit = np.zeros((uh, uw), bool)
-    plans = []
 
-    for y0 in range(0, h, size):
-        for x0 in range(0, w, size):
+    def code_block(orig, pred, qpq, lg2):
+        resid = orig.astype(np.int32) - pred
+        coeff = golden.forward_transform(resid)
+        lev = golden.quantize(coeff, qpq, lg2, is_intra=False)
+        if np.any(lev):
+            r = golden.inverse_transform(golden.dequantize(lev, qpq, lg2))
+        else:
+            r = np.zeros_like(resid)
+        return lev, np.clip(pred + r, 0, 255).astype(np.uint8)
+
+    for r in range(nby):
+        for c in range(nbx):
+            y0, x0 = r * size, c * size
             blk = y[y0:y0 + size, x0:x0 + size].astype(np.int32)
             mvi = integer_search(blk, ry, x0, y0, search, lam_fx)
-            mvx, mvy = subpel_refine(blk, ry, x0, y0, mvi, lam_fx, me_precision)
+            mvx, mvy = subpel_refine(blk, ry, x0, y0, mvi, lam_fx,
+                                     me_precision)
+            mvs[r, c] = (mvx, mvy)
 
-            # Prediction + residual for the chosen MV.
             pred_y = interp.mc_luma(ry, PAD, x0, y0, size, size, mvx, mvy)
             cs = size // 2
             cx0, cy0 = x0 // 2, y0 // 2
             pred_u = interp.mc_chroma(ru, PAD // 2, cx0, cy0, cs, cs, mvx, mvy)
             pred_v = interp.mc_chroma(rv, PAD // 2, cx0, cy0, cs, cs, mvx, mvy)
 
-            def code_block(orig, pred, qpq, lg2):
-                resid = orig.astype(np.int32) - pred
-                coeff = golden.forward_transform(resid)
-                lev = golden.quantize(coeff, qpq, lg2, is_intra=False)
-                if np.any(lev):
-                    r = golden.inverse_transform(golden.dequantize(lev, qpq, lg2))
-                else:
-                    r = np.zeros_like(resid)
-                return lev, np.clip(pred + r, 0, 255).astype(np.uint8)
-
-            lev_y, rc_y = code_block(blk, pred_y, qp, log2)
-            lev_u, rc_u = code_block(u[cy0:cy0 + cs, cx0:cx0 + cs], pred_u,
-                                     qp_c, log2 - 1)
-            lev_v, rc_v = code_block(v[cy0:cy0 + cs, cx0:cx0 + cs], pred_v,
-                                     qp_c, log2 - 1)
-            has_resid = bool(np.any(lev_y) or np.any(lev_u) or np.any(lev_v))
-
-            # merge / AMVP decision (decoder-exact candidate lists).
-            mcands = merge_candidates(fld, x0, y0, size, max_merge_cand)
-            merge_idx = next((i for i, c in enumerate(mcands)
-                              if c == (mvx, mvy, 0)), -1)
-            merge = merge_idx >= 0
-            skip = merge and not has_resid
-            if merge and not has_resid:
-                pass
-            if not merge:
-                amvp = amvp_candidates(fld, x0, y0, size)
-                b0 = mv_bits_fx(mvx - amvp[0][0], mvy - amvp[0][1])
-                b1 = mv_bits_fx(mvx - amvp[1][0], mvy - amvp[1][1])
-                mvp_idx = 0 if b0 <= b1 else 1
-                mvd = (mvx - amvp[mvp_idx][0], mvy - amvp[mvp_idx][1])
-            else:
-                mvp_idx, mvd = 0, (0, 0)
-
+            lev_y[r, c], rc_y = code_block(blk, pred_y, qp, log2)
+            lev_u[r, c], rc_u = code_block(u[cy0:cy0 + cs, cx0:cx0 + cs],
+                                           pred_u, qp_c, log2 - 1)
+            lev_v[r, c], rc_v = code_block(v[cy0:cy0 + cs, cx0:cx0 + cs],
+                                           pred_v, qp_c, log2 - 1)
             rec_y[y0:y0 + size, x0:x0 + size] = rc_y
             rec_u[cy0:cy0 + cs, cx0:cx0 + cs] = rc_u
             rec_v[cy0:cy0 + cs, cx0:cx0 + cs] = rc_v
-            fld.set_cu(x0, y0, size, (mvx, mvy), 0)
-            cbf_y_unit[y0 // 4:(y0 + size) // 4,
-                       x0 // 4:(x0 + size) // 4] = bool(np.any(lev_y))
 
+    # ---- stage B: shared sequential decision walk ----
+    return build_p_plans(mvs, lev_y, lev_u, lev_v,
+                         (rec_y, rec_u, rec_v), size=size,
+                         max_merge_cand=max_merge_cand)
+
+
+def build_p_plans(mvs, lev_y, lev_u, lev_v, recon, *, size: int,
+                  max_merge_cand: int = 5) -> PFramePlan:
+    """Stage B: decisions + CtuPlan assembly from per-block arrays (used by
+    both the golden and the JAX pipelines)."""
+    nby, nbx = mvs.shape[:2]
+    units = size // 4
+    cbf_blk = (np.any(lev_y, axis=(-1, -2)))
+    has_resid = (cbf_blk | np.any(lev_u, axis=(-1, -2))
+                 | np.any(lev_v, axis=(-1, -2)))
+    dec, fld = derive_block_decisions(mvs, has_resid, size, max_merge_cand)
+
+    cbf_y_unit = np.repeat(np.repeat(cbf_blk, units, 0), units, 1)
+    plans = []
+    for r in range(nby):
+        for c in range(nbx):
             full = lambda val, dt: np.full((units, units), val, dt)
             plans.append(CtuPlan(
-                x0=x0, y0=y0,
+                x0=c * size, y0=r * size,
                 depth_map=full(0, np.int8),
                 luma_mode=full(1, np.int8), chroma_mode=full(1, np.int8),
                 part_nxn=full(False, bool), tr_depth_map=full(0, np.int8),
-                coeff_y=lev_y, coeff_cb=lev_u, coeff_cr=lev_v,
+                coeff_y=lev_y[r, c], coeff_cb=lev_u[r, c],
+                coeff_cr=lev_v[r, c],
                 pred_intra=full(False, bool),
-                skip=full(skip, bool),
-                merge_flag=full(merge, bool),
-                merge_idx=full(max(merge_idx, 0), np.int8),
-                mvd=np.broadcast_to(np.array(mvd, np.int32),
+                skip=full(bool(dec["skip"][r, c]), bool),
+                merge_flag=full(bool(dec["merge"][r, c]), bool),
+                merge_idx=full(int(dec["merge_idx"][r, c]), np.int8),
+                mvd=np.broadcast_to(dec["mvd"][r, c],
                                     (units, units, 2)).copy(),
-                mvp_idx=full(mvp_idx, np.int8),
+                mvp_idx=full(int(dec["mvp_idx"][r, c]), np.int8),
             ))
-
-    return PFramePlan(plans, (rec_y, rec_u, rec_v), fld, cbf_y_unit)
+    return PFramePlan(plans, recon, fld, cbf_y_unit)

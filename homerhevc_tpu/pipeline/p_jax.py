@@ -1,0 +1,266 @@
+"""TPU-native P-frame pipeline: frame-batched ME + MC + transform.
+
+The key restructuring vs the reference (hmr_motion_inter.c, per-CU wavefront
+with semaphores): inter prediction reads only the *previous* decoded frame,
+so every block's ME/MC/transform is independent — the whole frame runs as
+one batched device program:
+
+  * integer ME: ordered lax.scan over the (2R+1)^2 offset grid, whole-frame
+    abs-diff + per-block box reduction per offset (first-minimum semantics
+    identical to the golden encoder's raster argmin);
+  * subpel: per-block 49-position quarter-pel cost grid from 16 shared
+    filter planes, then the same greedy half->quarter selection;
+  * MC + DCT + quant + recon: dense batched tensor ops on the MXU.
+
+Only the merge/AMVP decision walk stays sequential, on the host
+(ops.inter_golden.derive_block_decisions) — it is O(blocks) scalar work.
+Produces bit-identical streams to pipeline/p_golden.py (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..ops import interp
+from ..ops import quant as quant_ops
+from ..ops import transforms as tx_ops
+from . import p_golden
+from .p_golden import PAD, PFramePlan, build_p_plans, lambda_me_fx
+
+I32 = jnp.int32
+
+
+def _bits_tab(max_abs: int) -> np.ndarray:
+    """bits(c) = 1 + 2*bitlen(|c|) lookup for |c| in 0..max_abs."""
+    return np.array([1 + 2 * int(a).bit_length() for a in range(max_abs + 1)],
+                    dtype=np.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "qp", "search", "me_precision"))
+def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
+                   qp: int, search: int, me_precision: int):
+    H, W = y_pad.shape
+    nby, nbx = H // B, W // B
+    B2 = B // 2
+    qp_c = int(tables.chroma_qp_from_luma(qp))
+    lam = lambda_me_fx(qp)
+    log2 = B.bit_length() - 1
+
+    cur = y_pad.astype(I32)
+    ry = jnp.pad(ref_y.astype(I32), PAD, mode="edge")
+    ru = jnp.pad(ref_u.astype(I32), PAD // 2, mode="edge")
+    rv = jnp.pad(ref_v.astype(I32), PAD // 2, mode="edge")
+
+    # ---------------- integer full-window search ----------------
+    n = 2 * search + 1
+    bits1 = _bits_tab(4 * search)[np.abs(4 * np.arange(-search, search + 1))]
+    mvcost = ((lam * (bits1[:, None] + bits1[None, :])) >> 8).reshape(-1)
+    mvcost_j = jnp.asarray(mvcost, I32)
+
+    # Scan over dy; all dx evaluated as one batched tensor per step. First-
+    # minimum raster semantics: argmin over dx picks the smallest dx, the
+    # strict-less carry update keeps the smallest dy — identical tie-breaks
+    # to the golden encoder's flat raster argmin.
+    cur16 = cur.astype(jnp.int16)
+
+    def step(carry, dyi):
+        best_cost, best_o = carry
+        row_band = jax.lax.dynamic_slice(ry, (PAD - search + dyi, 0),
+                                         (H, W + 2 * PAD))
+
+        def sad_dx(dxi):
+            shifted = jax.lax.dynamic_slice(
+                row_band, (0, PAD - search + dxi), (H, W)).astype(jnp.int16)
+            d = jnp.abs(cur16 - shifted)
+            return d.reshape(nby, B, nbx, B).astype(I32).sum(axis=(1, 3))
+
+        sads = jax.vmap(sad_dx)(jnp.arange(n, dtype=I32))     # (n, nby, nbx)
+        cost = sads + mvcost_j.reshape(n, n)[dyi][:, None, None]
+        kx = jnp.argmin(cost, axis=0).astype(I32)             # first min: dx
+        val = jnp.take_along_axis(cost, kx[None], axis=0)[0]
+        o = dyi * n + kx
+        better = val < best_cost
+        return (jnp.where(better, val, best_cost),
+                jnp.where(better, o, best_o)), None
+
+    big = jnp.full((nby, nbx), 1 << 30, I32)
+    (_, best_o), _ = jax.lax.scan(step, (big, jnp.zeros((nby, nbx), I32)),
+                                  jnp.arange(n, dtype=I32))
+    ivy = best_o // n - search                      # (nby, nbx)
+    ivx = best_o % n - search
+
+    # ---------------- per-block subpel + MC + residual ----------------
+    bits_q = jnp.asarray(_bits_tab(4 * search + 8), I32)
+    qp_idx = [(qy, qx) for qy in range(-3, 4) for qx in range(-3, 4)]
+
+    rs = jnp.arange(nby * nbx, dtype=I32)
+
+    def lane(bi, state):
+        r = bi // nbx
+        c = bi % nbx
+        y0 = r * B
+        x0 = c * B
+        vy = ivy[r, c]
+        vx = ivx[r, c]
+        blk = jax.lax.dynamic_slice(cur, (y0, x0), (B, B))
+
+        # (B+9, B+9) support window around the integer-best position.
+        win = jax.lax.dynamic_slice(ry, (y0 + vy - 4 + PAD, x0 + vx - 4 + PAD),
+                                    (B + 9, B + 9))
+        G = B + 2                                   # qpel grid spatial extent
+        # horizontal passes (shared across fy)
+        hraw = [win[:, 3:3 + G]]
+        for fx in (1, 2, 3):
+            hraw.append(interp._filt_h(jnp, win, interp.LUMA_FILTERS[fx], 8))
+        grids = []
+        for fy in range(4):
+            for fx in range(4):
+                if fy == 0 and fx == 0:
+                    grids.append(win[3:3 + G, 3:3 + G])
+                elif fy == 0:
+                    grids.append(jnp.clip((hraw[fx][3:3 + G] + 32) >> 6, 0, 255))
+                elif fx == 0:
+                    vv = interp._filt_v(jnp, win[:, 3:3 + G],
+                                        interp.LUMA_FILTERS[fy], 8)
+                    grids.append(jnp.clip((vv + 32) >> 6, 0, 255))
+                else:
+                    vv = interp._filt_v(jnp, hraw[fx],
+                                        interp.LUMA_FILTERS[fy], 8) >> 6
+                    grids.append(jnp.clip((vv + 32) >> 6, 0, 255))
+        gstack = jnp.stack(grids)                   # (16, G, G)
+
+        # 49 quarter-pel candidate costs.
+        costs = []
+        for qy, qx in qp_idx:
+            fy, fx = qy & 3, qx & 3
+            iy, ix = qy >> 2, qx >> 2
+            pred = gstack[fy * 4 + fx, 1 + iy:1 + iy + B, 1 + ix:1 + ix + B]
+            sad = jnp.abs(blk - pred).sum()
+            mvx_t = 4 * vx + qx
+            mvy_t = 4 * vy + qy
+            bb = bits_q[jnp.abs(mvx_t)] + bits_q[jnp.abs(mvy_t)]
+            costs.append(sad + ((lam * bb) >> 8))
+        cost49 = jnp.stack(costs)                   # (49,)
+
+        def strict_min(center_idx, offsets):
+            best_i = center_idx
+            best_c = cost49[center_idx]
+            for off in offsets:
+                i = center_idx + off
+                ci = cost49[i]
+                better = ci < best_c
+                best_c = jnp.where(better, ci, best_c)
+                best_i = jnp.where(better, i, best_i)
+            return best_i
+
+        center = jnp.asarray(24, I32)               # (0, 0) in the 7x7 grid
+        if me_precision >= 1:
+            offs = [dqy * 7 + dqx for dqy in (-2, 0, 2) for dqx in (-2, 0, 2)
+                    if not (dqy == 0 and dqx == 0)]
+            center = strict_min(center, offs)
+        if me_precision >= 2:
+            offs = [dqy * 7 + dqx for dqy in (-1, 0, 1) for dqx in (-1, 0, 1)
+                    if not (dqy == 0 and dqx == 0)]
+            center = strict_min(center, offs)
+        qy = center // 7 - 3
+        qx = center % 7 - 3
+        mvx = 4 * vx + qx
+        mvy = 4 * vy + qy
+
+        fy, fx = qy & 3, qx & 3
+        plane = jax.lax.dynamic_index_in_dim(gstack, fy * 4 + fx, 0,
+                                             keepdims=False)
+        pred_y = jax.lax.dynamic_slice(plane, (1 + (qy >> 2), 1 + (qx >> 2)),
+                                       (B, B))
+
+        # ---- chroma MC: all 64 frac planes, select (fy, fx) ----
+        def chroma_pred(refp, cy0, cx0):
+            wc = jax.lax.dynamic_slice(
+                refp, (cy0 + (mvy >> 3) + PAD // 2 - 1,
+                       cx0 + (mvx >> 3) + PAD // 2 - 1), (B2 + 3, B2 + 3))
+            cfy, cfx = mvy & 7, mvx & 7
+            hs = [wc[:, 1:1 + B2]]
+            for f in range(1, 8):
+                hs.append(interp._filt_h(jnp, wc, interp.CHROMA_FILTERS[f], 4))
+            outs = []
+            for gy in range(8):
+                for gx in range(8):
+                    if gy == 0 and gx == 0:
+                        outs.append(wc[1:1 + B2, 1:1 + B2])
+                    elif gy == 0:
+                        outs.append(jnp.clip((hs[gx][1:1 + B2] + 32) >> 6, 0, 255))
+                    elif gx == 0:
+                        vv = interp._filt_v(jnp, wc[:, 1:1 + B2],
+                                            interp.CHROMA_FILTERS[gy], 4)
+                        outs.append(jnp.clip((vv + 32) >> 6, 0, 255))
+                    else:
+                        vv = interp._filt_v(jnp, hs[gx],
+                                            interp.CHROMA_FILTERS[gy], 4) >> 6
+                        outs.append(jnp.clip((vv + 32) >> 6, 0, 255))
+            st = jnp.stack(outs)                    # (64, B2, B2)
+            return jax.lax.dynamic_index_in_dim(st, cfy * 8 + cfx, 0,
+                                                keepdims=False)
+
+        cy0 = r * B2
+        cx0 = c * B2
+        pred_u = chroma_pred(ru, cy0, cx0)
+        pred_v = chroma_pred(rv, cy0, cx0)
+        blk_u = jax.lax.dynamic_slice(u_pad.astype(I32), (cy0, cx0), (B2, B2))
+        blk_v = jax.lax.dynamic_slice(v_pad.astype(I32), (cy0, cx0), (B2, B2))
+
+        def code(orig, pred, qpq, lg2):
+            resid = orig - pred
+            coeff = tx_ops.forward_transform(resid)
+            lev = quant_ops.quantize(coeff, qpq, lg2, is_intra=False)
+            rr = tx_ops.inverse_transform(quant_ops.dequantize(lev, qpq, lg2))
+            any_nz = jnp.any(lev != 0)
+            rr = jnp.where(any_nz, rr, 0)
+            rec = jnp.clip(pred + rr, 0, 255)
+            return lev, rec
+
+        lev_y, rec_y = code(blk, pred_y, qp, log2)
+        lev_u, rec_u = code(blk_u, pred_u, qp_c, log2 - 1)
+        lev_v, rec_v = code(blk_v, pred_v, qp_c, log2 - 1)
+        return dict(mvx=mvx, mvy=mvy, lev_y=lev_y, lev_u=lev_u, lev_v=lev_v,
+                    rec_y=rec_y, rec_u=rec_u, rec_v=rec_v)
+
+    outs = jax.vmap(lambda bi: lane(bi, None))(rs)
+
+    def to_plane(blocks, nb):
+        return (blocks.reshape(nby, nbx, nb, nb)
+                .transpose(0, 2, 1, 3).reshape(nby * nb, nbx * nb))
+
+    return dict(
+        mvs=jnp.stack([outs["mvx"], outs["mvy"]], -1).reshape(nby, nbx, 2),
+        lev_y=outs["lev_y"].reshape(nby, nbx, B, B),
+        lev_u=outs["lev_u"].reshape(nby, nbx, B2, B2),
+        lev_v=outs["lev_v"].reshape(nby, nbx, B2, B2),
+        recon_y=to_plane(outs["rec_y"], B).astype(jnp.uint8),
+        recon_u=to_plane(outs["rec_u"], B2).astype(jnp.uint8),
+        recon_v=to_plane(outs["rec_v"], B2).astype(jnp.uint8),
+    )
+
+
+def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
+                   search: int = 16, me_precision: int = 2,
+                   max_merge_cand: int = 5) -> PFramePlan:
+    """Device stage A + shared host stage B; same signature/result as
+    p_golden.encode_p_frame."""
+    B = 1 << ctu_log2
+    out = p_frame_device(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                         jnp.asarray(ref_planes[0]),
+                         jnp.asarray(ref_planes[1]),
+                         jnp.asarray(ref_planes[2]),
+                         B=B, qp=qp, search=search,
+                         me_precision=me_precision)
+    recon = (np.asarray(out["recon_y"]), np.asarray(out["recon_u"]),
+             np.asarray(out["recon_v"]))
+    return build_p_plans(np.asarray(out["mvs"]), np.asarray(out["lev_y"]),
+                         np.asarray(out["lev_u"]), np.asarray(out["lev_v"]),
+                         recon, size=B, max_merge_cand=max_merge_cand)
