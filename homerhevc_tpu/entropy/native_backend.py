@@ -1,0 +1,209 @@
+"""ctypes wrapper for the native C++ CABAC slice encoder (entropy/native/).
+
+Builds libhenc.so on demand with g++ (layout.h is generated from the Python
+tables so the two backends share one source of truth), exposes
+encode_slice_data_native() with the same result as the Python oracle in
+assemble.encode_slice_data — byte-for-byte (tested).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO = os.path.join(_DIR, "libhenc.so")
+_SRC = os.path.join(_DIR, "henc_native.cc")
+_LAYOUT = os.path.join(_DIR, "layout.h")
+
+_lib = None
+_err = None
+
+
+class _SliceParams(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "pic_width", "pic_height", "ctu_log2", "min_cu_log2",
+        "max_tr_depth_intra", "max_tr_depth_inter", "sign_hiding",
+        "slice_type", "max_merge_cand")]
+
+
+def _build() -> None:
+    from .native import gen_layout
+    if (not os.path.exists(_LAYOUT)
+            or os.path.getmtime(_LAYOUT) < os.path.getmtime(
+                os.path.join(_DIR, "gen_layout.py"))):
+        gen_layout.generate(_LAYOUT)
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < max(os.path.getmtime(_SRC),
+                                           os.path.getmtime(_LAYOUT))):
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        _SRC, "-o", _SO], check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _err
+    if _lib is not None or _err is not None:
+        return _lib
+    try:
+        _build()
+        lib = ctypes.CDLL(_SO)
+        lib.henc_encode_slice.restype = ctypes.c_int
+        _lib = lib
+    except Exception as e:          # pragma: no cover - env dependent
+        _err = e
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _c8(a):
+    return np.ascontiguousarray(a, dtype=np.int8)
+
+
+def _u8(a):
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
+def _i32(a):
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def frame_maps_from_plans(plans, pic_w: int, pic_h: int, ctu_size: int):
+    """Assemble frame-level unit maps + coefficient planes from CtuPlans."""
+    uw, uh = pic_w // 4, pic_h // 4
+    z8 = lambda: np.zeros((uh, uw), np.int8)
+    zb = lambda: np.zeros((uh, uw), np.uint8)
+    maps = dict(depth=z8(), luma_mode=z8(), chroma_mode=z8(), tr_depth=z8(),
+                merge_idx=z8(), mvp_idx=z8(), part_nxn=zb(), pred_intra=zb(),
+                skip=zb(), merge_flag=zb(),
+                mvd=np.zeros((uh, uw, 2), np.int32),
+                coeff_y=np.zeros((pic_h, pic_w), np.int32),
+                coeff_cb=np.zeros((pic_h // 2, pic_w // 2), np.int32),
+                coeff_cr=np.zeros((pic_h // 2, pic_w // 2), np.int32))
+    for p in plans:
+        ux, uy = p.x0 // 4, p.y0 // 4
+        un = ctu_size // 4
+        sl = (slice(uy, uy + un), slice(ux, ux + un))
+        maps["depth"][sl] = p.depth_map
+        maps["luma_mode"][sl] = p.luma_mode
+        maps["chroma_mode"][sl] = p.chroma_mode
+        maps["tr_depth"][sl] = p.tr_depth_map
+        maps["part_nxn"][sl] = p.part_nxn
+        if p.pred_intra is not None:
+            maps["pred_intra"][sl] = p.pred_intra
+            maps["skip"][sl] = p.skip
+            maps["merge_flag"][sl] = p.merge_flag
+            maps["merge_idx"][sl] = p.merge_idx
+            maps["mvp_idx"][sl] = p.mvp_idx
+            maps["mvd"][sl] = p.mvd
+        else:
+            maps["pred_intra"][sl] = 1
+        maps["coeff_y"][p.y0:p.y0 + ctu_size, p.x0:p.x0 + ctu_size] = p.coeff_y
+        maps["coeff_cb"][p.y0 // 2:(p.y0 + ctu_size) // 2,
+                         p.x0 // 2:(p.x0 + ctu_size) // 2] = p.coeff_cb
+        maps["coeff_cr"][p.y0 // 2:(p.y0 + ctu_size) // 2,
+                         p.x0 // 2:(p.x0 + ctu_size) // 2] = p.coeff_cr
+    return maps
+
+
+def _blocks_to_plane(blocks: np.ndarray) -> np.ndarray:
+    nby, nbx, b, _ = blocks.shape
+    return np.ascontiguousarray(
+        blocks.transpose(0, 2, 1, 3).reshape(nby * b, nbx * b))
+
+
+def _rep_units(a: np.ndarray, un: int) -> np.ndarray:
+    return np.repeat(np.repeat(a, un, axis=0), un, axis=1)
+
+
+def maps_from_intra_grid(modes: np.ndarray, lev_y, lev_u, lev_v,
+                         B: int) -> dict:
+    """Vectorized frame maps for the fixed-grid all-intra pipeline (no
+    per-CTU Python objects — the hot path)."""
+    un = B // 4
+    uh, uw = modes.shape[0] * un, modes.shape[1] * un
+    m8 = _rep_units(modes.astype(np.int8), un)
+    z8 = np.zeros((uh, uw), np.int8)
+    return dict(depth=z8, luma_mode=m8, chroma_mode=m8, tr_depth=z8,
+                merge_idx=z8, mvp_idx=z8,
+                part_nxn=np.zeros((uh, uw), np.uint8),
+                pred_intra=np.ones((uh, uw), np.uint8),
+                skip=np.zeros((uh, uw), np.uint8),
+                merge_flag=np.zeros((uh, uw), np.uint8),
+                mvd=np.zeros((uh, uw, 2), np.int32),
+                coeff_y=_blocks_to_plane(np.asarray(lev_y)),
+                coeff_cb=_blocks_to_plane(np.asarray(lev_u)),
+                coeff_cr=_blocks_to_plane(np.asarray(lev_v)))
+
+
+def maps_from_p_arrays(mvs: np.ndarray, dec: dict, lev_y, lev_u, lev_v,
+                       B: int) -> dict:
+    """Vectorized frame maps for the all-inter CU-grid P pipeline."""
+    un = B // 4
+    nby, nbx = dec["skip"].shape
+    uh, uw = nby * un, nbx * un
+    z8 = np.zeros((uh, uw), np.int8)
+    one8 = np.full((uh, uw), 1, np.int8)
+    return dict(depth=z8, luma_mode=one8, chroma_mode=one8, tr_depth=z8,
+                merge_idx=_rep_units(dec["merge_idx"].astype(np.int8), un),
+                mvp_idx=_rep_units(dec["mvp_idx"].astype(np.int8), un),
+                part_nxn=np.zeros((uh, uw), np.uint8),
+                pred_intra=np.zeros((uh, uw), np.uint8),
+                skip=_rep_units(dec["skip"].astype(np.uint8), un),
+                merge_flag=_rep_units(dec["merge"].astype(np.uint8), un),
+                mvd=np.repeat(np.repeat(dec["mvd"].astype(np.int32),
+                                        un, 0), un, 1),
+                coeff_y=_blocks_to_plane(np.asarray(lev_y)),
+                coeff_cb=_blocks_to_plane(np.asarray(lev_u)),
+                coeff_cr=_blocks_to_plane(np.asarray(lev_v)))
+
+
+def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
+                           slice_type: int, max_merge_cand: int = 5) -> bytes:
+    """Encode slice_data() from frame-level unit maps via the C++ walker."""
+    from .cabac import ContextSet
+    from .headers import SLICE_B, SLICE_I, SLICE_P
+
+    lib = _load()
+    assert lib is not None, f"native backend unavailable: {_err}"
+    pic_w = params.width + params.pad_right
+    pic_h = params.height + params.pad_bottom
+    init_type = {SLICE_I: 0, SLICE_P: 1, SLICE_B: 2}[slice_type]
+    ctxs = ContextSet(init_type, slice_qp)
+    state = _u8(ctxs.state)
+    mps = _u8(ctxs.mps)
+
+    sp = _SliceParams(pic_w, pic_h, params.ctu_log2, params.min_cu_log2,
+                      params.max_tr_depth_intra, params.max_tr_depth_inter,
+                      int(params.sign_hiding), slice_type, max_merge_cand)
+    cap = pic_w * pic_h * 4 + 4096
+    out = np.zeros(cap, np.uint8)
+
+    # Keep converted arrays alive for the duration of the call.
+    arrs = [_c8(maps["depth"]), _c8(maps["luma_mode"]), _c8(maps["chroma_mode"]),
+            _u8(maps["part_nxn"]), _c8(maps["tr_depth"]),
+            _u8(maps["pred_intra"]), _u8(maps["skip"]), _u8(maps["merge_flag"]),
+            _c8(maps["merge_idx"]), _i32(maps["mvd"]), _c8(maps["mvp_idx"]),
+            _i32(maps["coeff_y"]), _i32(maps["coeff_cb"]), _i32(maps["coeff_cr"]),
+            state, mps, out]
+    args = [ctypes.byref(sp)] + [a.ctypes.data_as(ctypes.c_void_p)
+                                 for a in arrs] + [ctypes.c_int(cap)]
+    n = lib.henc_encode_slice(*args)
+    assert n >= 0, "native slice encoder overflow"
+    return bytes(out[:n].tobytes())
+
+
+def encode_slice_data_native(params, plans, *, slice_qp: int, slice_type: int,
+                             max_merge_cand: int = 5) -> bytes:
+    """Drop-in replacement for assemble.encode_slice_data (plans path)."""
+    pic_w = params.width + params.pad_right
+    pic_h = params.height + params.pad_bottom
+    maps = frame_maps_from_plans(plans, pic_w, pic_h, 1 << params.ctu_log2)
+    return encode_slice_from_maps(params, maps, slice_qp=slice_qp,
+                                  slice_type=slice_type,
+                                  max_merge_cand=max_merge_cand)

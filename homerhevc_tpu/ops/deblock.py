@@ -219,6 +219,41 @@ def intra_edge_maps(H: int, W: int, tu_size: int):
     return bs_v, bs_h
 
 
+def inter_bs_from_blocks(mvs, cbf_blk, B: int, xp=np):
+    """bs maps for an all-inter CU=PU=TU=B grid, from per-block MVs + luma
+    cbf (spec 8.7.2.4 reduced: no intra, edges only at B-grid).
+
+    mvs: (nby, nbx, 2) quarter-pel; cbf_blk: (nby, nbx) bool.
+    Returns bs_v (nby*B//4, nbx*B//8), bs_h (nby*B//8, nbx*B//4) — device
+    (jnp) or host (np) depending on xp. Runs inside jit for the
+    device-resident reference loop.
+    """
+    nby, nbx = cbf_blk.shape
+    rv = B // 4          # 4-row segments per block
+    rh = B // 8          # 8-col edge slots per block
+    # vertical edges between block c-1 and c
+    dmv_v = xp.abs(mvs[:, 1:] - mvs[:, :-1]).max(axis=-1)      # (nby, nbx-1)
+    bs1_v = ((cbf_blk[:, 1:] | cbf_blk[:, :-1]) | (dmv_v >= 4)).astype(xp.int32)
+    bs_v = xp.zeros((nby * rv, nbx * rh), xp.int32)
+    col = xp.repeat(bs1_v, rv, axis=0)                          # (H/4, nbx-1)
+    idx = (np.arange(1, nbx) * rh).astype(np.int32)
+    if xp is np:
+        bs_v[:, idx] = col
+    else:
+        bs_v = bs_v.at[:, idx].set(col)
+    # horizontal edges between block r-1 and r
+    dmv_h = xp.abs(mvs[1:, :] - mvs[:-1, :]).max(axis=-1)
+    bs1_h = ((cbf_blk[1:, :] | cbf_blk[:-1, :]) | (dmv_h >= 4)).astype(xp.int32)
+    bs_h = xp.zeros((nby * rh, nbx * rv), xp.int32)
+    row = xp.repeat(bs1_h, rv, axis=1)
+    ridx = (np.arange(1, nby) * rh).astype(np.int32)
+    if xp is np:
+        bs_h[ridx, :] = row
+    else:
+        bs_h = bs_h.at[ridx, :].set(row)
+    return bs_v, bs_h
+
+
 def edge_maps_from_tu_grid(tu_left_edge: np.ndarray, tu_top_edge: np.ndarray,
                            intra_mask: np.ndarray | None = None):
     """Generalised edge maps from per-4x4-unit TU boundary flags.

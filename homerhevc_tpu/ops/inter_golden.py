@@ -170,6 +170,118 @@ def derive_block_decisions(mvs: np.ndarray, has_resid: np.ndarray, size: int,
                 mvp_idx=mvp_idx, mvd=mvd), fld
 
 
+def derive_block_decisions_fast(mvs: np.ndarray, has_resid: np.ndarray,
+                                size: int, max_merge_cand: int = 5):
+    """Vectorized twin of derive_block_decisions for the all-inter CU-grid
+    case (every block inter, CU == grid cell, raster coding order).
+
+    The candidate positions then reduce to neighbor blocks: A1 = left,
+    B1 = above, B0 = above-right, B2 = above-left; A0 (below-left) is never
+    yet coded in raster order. Verified equal to the sequential walk
+    (tests/test_decisions_fast.py).
+    """
+    nby, nbx = has_resid.shape
+    mv = mvs.astype(np.int64)
+    key = mv[..., 0] * (1 << 20) + mv[..., 1]     # pack mv into one int
+    NONE = np.int64(1) << 60
+
+    def shift(dr, dc):
+        out = np.full((nby, nbx), NONE, np.int64)
+        rs = slice(max(dr, 0), nby + min(dr, 0))
+        cs = slice(max(dc, 0), nbx + min(dc, 0))
+        rd = slice(max(-dr, 0), nby + min(-dr, 0))
+        cd = slice(max(-dc, 0), nbx + min(-dc, 0))
+        out[rd, cd] = key[rs, cs]
+        return out
+
+    a1 = shift(0, -1)
+    b1 = shift(-1, 0)
+    b0 = shift(-1, 1)
+    b2 = shift(-1, -1)
+    av_a1 = a1 != NONE
+    av_b1 = b1 != NONE
+    av_b0 = b0 != NONE
+    av_b2 = b2 != NONE
+
+    # Merge list construction, vectorized: candidate k slot values.
+    cands = np.full((4, nby, nbx), NONE, np.int64)   # max 4 spatial here
+    counts = np.zeros((nby, nbx), np.int32)
+
+    def push(val, cond):
+        nonlocal counts
+        for k in range(4):
+            here = cond & (counts == k)
+            cands[k][here] = val[here]
+        counts = counts + cond.astype(np.int32)
+
+    push(a1, av_a1)
+    push(b1, av_b1 & ~(av_a1 & (b1 == a1)))
+    push(b0, av_b0 & ~(av_b1 & (b0 == b1)))
+    # A0 never available; B2 considered when fewer than 4 spatial cands
+    # available overall (n_spatial = av_a1+av_b1+av_b0 < 4 always true here).
+    push(b2, av_b2 & ~(av_a1 & (b2 == a1)) & ~(av_b1 & (b2 == b1)))
+
+    # zero-MV padding occupies remaining slots
+    zero_key = np.int64(0)
+    merge_idx = np.full((nby, nbx), -1, np.int32)
+    for k in range(min(4, max_merge_cand) - 1, -1, -1):
+        merge_idx[(cands[k] == key) & (k < counts)] = k
+    # zero-mv padded candidate matches when mv == 0 and no earlier match
+    if max_merge_cand > 0:
+        zmatch = (key == zero_key) & (merge_idx < 0) & (counts < max_merge_cand)
+        merge_idx[zmatch] = counts[zmatch]
+
+    merge = merge_idx >= 0
+    skip = merge & ~has_resid
+
+    # AMVP: A = A1 (A0 unavailable); B = first of B0, B1, B2.
+    def unpack(k):
+        x = np.floor_divide(k, 1 << 20)
+        y = k - x * (1 << 20)
+        # y in [0, 2^20); recenter to signed
+        wrap = y >= (1 << 19)
+        y = y - wrap * (1 << 20)
+        x = x + wrap
+        return np.stack([x, y], -1).astype(np.int32)
+
+    mv_a = np.where(av_a1[..., None], unpack(np.where(av_a1, a1, 0)), 0)
+    b_key = np.where(av_b0, b0, np.where(av_b1, b1, b2))
+    av_b = av_b0 | av_b1 | av_b2
+    mv_b = np.where(av_b[..., None], unpack(np.where(av_b, b_key, 0)), 0)
+    # candidate list: [A if availA else B, second distinct or zero]
+    c0 = np.where(av_a1[..., None], mv_a, np.where(av_b[..., None], mv_b, 0))
+    b_dup = av_a1 & av_b & (mv_a == mv_b).all(-1)
+    use_b_as_c1 = av_b & av_a1 & ~b_dup
+    c1 = np.where(use_b_as_c1[..., None], mv_b, 0)
+
+    def bits(v):
+        a = np.abs(v).astype(np.int64)
+        bl = np.zeros_like(a)
+        x = a.copy()
+        while (x > 0).any():
+            bl += (x > 0)
+            x >>= 1
+        return (1 + 2 * bl).sum(-1)
+
+    mvd0 = mvs - c0
+    mvd1 = mvs - c1
+    b0c = bits(mvd0)
+    b1c = bits(mvd1)
+    mvp_idx = ((b1c < b0c) & ~merge).astype(np.int8)
+    mvd = np.where(merge[..., None], 0,
+                   np.where(mvp_idx[..., None].astype(bool), mvd1, mvd0))
+
+    dec = dict(skip=skip, merge=merge,
+               merge_idx=np.maximum(merge_idx, 0).astype(np.int8),
+               mvp_idx=mvp_idx, mvd=mvd.astype(np.int32))
+    uh, uw = nby * size // 4, nbx * size // 4
+    fld = MotionField(uh, uw)
+    un = size // 4
+    fld.mv[:] = np.repeat(np.repeat(mvs, un, 0), un, 1)
+    fld.ref_idx[:] = 0
+    return dec, fld
+
+
 # --------------------------------------------------------------------------
 # Inter deblocking boundary strength (spec 8.7.2.4)
 # --------------------------------------------------------------------------

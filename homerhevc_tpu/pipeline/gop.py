@@ -84,31 +84,64 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                 max_tr_depth_inter=0, init_qp=qp,
                 deblocking_disabled=not deblocking, num_ref_frames=1)
         is_idr = poc == 0 or (intra_period > 0 and poc % intra_period == 0)
-        if is_idr:
-            last_idr = poc
-            if backend == "jax":
-                import jax.numpy as jnp
+        if backend == "jax":
+            import jax.numpy as jnp
 
-                from . import intra_jax, plans as plans_mod
+            from ..entropy import native_backend
+            from ..ops.inter_golden import derive_block_decisions_fast
+            from . import intra_jax, p_jax
+
+            if is_idr:
+                last_idr = poc
                 out = intra_jax.encode_frame_intra(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     B=size, qp=qp)
-                ctu_plans = plans_mod.plans_from_fixed_grid(out, size)
-                recon = (np.asarray(out["recon_y"]),
-                         np.asarray(out["recon_u"]),
-                         np.asarray(out["recon_v"]))
+                maps = native_backend.maps_from_intra_grid(
+                    np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
+                    out["lev_v"], size)
+                au = assemble.assemble_idr_au_from_maps(
+                    params, maps, slice_qp=qp,
+                    include_parameter_sets=(poc == 0))
+                if deblocking:
+                    ref_dev = p_jax.deblock_intra_device(
+                        out["recon_y"], out["recon_u"], out["recon_v"],
+                        B=size, qp=qp)
+                else:
+                    ref_dev = (out["recon_y"], out["recon_u"], out["recon_v"])
             else:
-                plan = intra_golden.encode_intra_frame(y, u, v, qp=qp,
-                                                       ctu_log2=ctu_log2)
-                ctu_plans, recon = plan.ctu_plans, plan.recon
-            au = assemble.assemble_idr_au(params, ctu_plans, slice_qp=qp,
+                out = p_jax.p_frame_device(
+                    jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+                    *ref_dev, B=size, qp=qp, search=search,
+                    me_precision=me_precision, deblock=deblocking)
+                mvs = np.asarray(out["mvs"])
+                lev_y = np.asarray(out["lev_y"])
+                lev_u = np.asarray(out["lev_u"])
+                lev_v = np.asarray(out["lev_v"])
+                has_resid = (np.any(lev_y, axis=(-1, -2))
+                             | np.any(lev_u, axis=(-1, -2))
+                             | np.any(lev_v, axis=(-1, -2)))
+                dec, _ = derive_block_decisions_fast(mvs, has_resid, size,
+                                                     max_merge_cand)
+                maps = native_backend.maps_from_p_arrays(
+                    mvs, dec, lev_y, lev_u, lev_v, size)
+                au = assemble.assemble_p_au_from_maps(
+                    params, maps, poc=poc - last_idr, slice_qp=qp,
+                    max_merge_cand=max_merge_cand)
+                if deblocking:
+                    ref_dev = (out["ref_y"], out["ref_u"], out["ref_v"])
+                else:
+                    ref_dev = (out["recon_y"], out["recon_u"], out["recon_v"])
+            ref = tuple(np.asarray(p) for p in ref_dev)
+        elif is_idr:
+            last_idr = poc
+            plan = intra_golden.encode_intra_frame(y, u, v, qp=qp,
+                                                   ctu_log2=ctu_log2)
+            au = assemble.assemble_idr_au(params, plan.ctu_plans, slice_qp=qp,
                                           include_parameter_sets=(poc == 0))
-            ref = _deblock_intra(recon, qp, h, w, min(size, 32), deblocking)
+            ref = _deblock_intra(plan.recon, qp, h, w, min(size, 32),
+                                 deblocking)
         else:
-            p_enc = p_golden
-            if backend == "jax":
-                from . import p_jax as p_enc
-            pplan = p_enc.encode_p_frame(
+            pplan = p_golden.encode_p_frame(
                 y, u, v, ref, qp=qp, ctu_log2=ctu_log2, search=search,
                 me_precision=me_precision, max_merge_cand=max_merge_cand)
             au = assemble.assemble_p_au(params, pplan.ctu_plans,

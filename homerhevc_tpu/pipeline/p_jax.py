@@ -42,9 +42,11 @@ def _bits_tab(max_abs: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("B", "qp", "search", "me_precision"))
+                   static_argnames=("B", "qp", "search", "me_precision",
+                                    "deblock"))
 def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
-                   qp: int, search: int, me_precision: int):
+                   qp: int, search: int, me_precision: int,
+                   deblock: bool = False):
     H, W = y_pad.shape
     nby, nbx = H // B, W // B
     B2 = B // 2
@@ -236,15 +238,50 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
         return (blocks.reshape(nby, nbx, nb, nb)
                 .transpose(0, 2, 1, 3).reshape(nby * nb, nbx * nb))
 
-    return dict(
-        mvs=jnp.stack([outs["mvx"], outs["mvy"]], -1).reshape(nby, nbx, 2),
-        lev_y=outs["lev_y"].reshape(nby, nbx, B, B),
-        lev_u=outs["lev_u"].reshape(nby, nbx, B2, B2),
-        lev_v=outs["lev_v"].reshape(nby, nbx, B2, B2),
-        recon_y=to_plane(outs["rec_y"], B).astype(jnp.uint8),
-        recon_u=to_plane(outs["rec_u"], B2).astype(jnp.uint8),
-        recon_v=to_plane(outs["rec_v"], B2).astype(jnp.uint8),
+    mvs = jnp.stack([outs["mvx"], outs["mvy"]], -1).reshape(nby, nbx, 2)
+    lev_y = outs["lev_y"].reshape(nby, nbx, B, B)
+    rec = (to_plane(outs["rec_y"], B), to_plane(outs["rec_u"], B2),
+           to_plane(outs["rec_v"], B2))
+    result = dict(
+        mvs=mvs,
+        lev_y=lev_y.astype(jnp.int16),
+        lev_u=outs["lev_u"].reshape(nby, nbx, B2, B2).astype(jnp.int16),
+        lev_v=outs["lev_v"].reshape(nby, nbx, B2, B2).astype(jnp.int16),
+        recon_y=rec[0].astype(jnp.uint8),
+        recon_u=rec[1].astype(jnp.uint8),
+        recon_v=rec[2].astype(jnp.uint8),
     )
+    if deblock:
+        # On-device loop filter: the deblocked planes are the reference for
+        # the next frame AND the decoder-side output — they never need to
+        # leave the device between P frames.
+        from ..ops import deblock as dbk
+        cbf_blk = jnp.any(lev_y != 0, axis=(-1, -2))
+        bs_v, bs_h = dbk.inter_bs_from_blocks(mvs, cbf_blk, B, xp=jnp)
+        qp_map = jnp.full((H // 4, W // 4), qp, jnp.int32)
+        fy, fu, fv = dbk.deblock_frame(rec[0], rec[1], rec[2],
+                                       bs_v=bs_v, bs_h=bs_h, qp_map=qp_map,
+                                       xp=jnp)
+        result["ref_y"] = fy.astype(jnp.uint8)
+        result["ref_u"] = fu.astype(jnp.uint8)
+        result["ref_v"] = fv.astype(jnp.uint8)
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=("B", "qp"))
+def deblock_intra_device(rec_y, rec_u, rec_v, *, B: int, qp: int):
+    """On-device deblocking of an all-intra frame (uniform TU grid, bS=2)."""
+    from ..ops import deblock as dbk
+    H, W = rec_y.shape
+    bs_v, bs_h = dbk.intra_edge_maps(H, W, min(B, 32))
+    qp_map = np.full((H // 4, W // 4), qp, np.int32)
+    fy, fu, fv = dbk.deblock_frame(rec_y.astype(jnp.int32),
+                                   rec_u.astype(jnp.int32),
+                                   rec_v.astype(jnp.int32),
+                                   bs_v=jnp.asarray(bs_v),
+                                   bs_h=jnp.asarray(bs_h),
+                                   qp_map=jnp.asarray(qp_map), xp=jnp)
+    return fy.astype(jnp.uint8), fu.astype(jnp.uint8), fv.astype(jnp.uint8)
 
 
 def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
