@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""HomerHEVC-TPU console app — role of the reference's homer_app
+(/root/reference/src/homer_app/homer_app.c:80-557): reads a YUV420 8-bit
+file, drives the encoder API, writes an Annex-B .265 file (and optionally
+the reconstructed YUV), prints per-frame stats and final fps.
+
+Flags mirror the reference CLI (homer_app.c:126-304) where the feature
+exists; TPU-specific extras are documented in --help.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv):
+    ap = argparse.ArgumentParser(prog="homer_app", description=__doc__)
+    ap.add_argument("-i", dest="input", required=True, help="input YUV420 file")
+    ap.add_argument("-o", dest="output", help="output .265 file")
+    ap.add_argument("-o-raw", dest="output_raw", help="write reconstructed YUV")
+    ap.add_argument("-widthxheight", dest="size", default="1280x720")
+    ap.add_argument("-frame_rate", type=float, default=25.0)
+    ap.add_argument("-cu_size", type=int, default=32, choices=(16, 32, 64))
+    ap.add_argument("-intra_period", type=int, default=100)
+    ap.add_argument("-gop_size", type=int, default=1,
+                    help="0: all intra, 1: IPPP (B frames not yet supported)")
+    ap.add_argument("-qp", type=int, default=32)
+    ap.add_argument("-motion_estimation_precision", type=int, default=2,
+                    choices=(0, 1, 2))
+    ap.add_argument("-chroma_qp_offset", type=int, default=0)
+    ap.add_argument("-sign_hiding", type=int, default=0)
+    ap.add_argument("-sao", type=int, default=0)
+    ap.add_argument("-deblocking", type=int, default=1)
+    ap.add_argument("-bitrate_mode", type=int, default=0,
+                    help="0=FIXED_QP 1=CBR 2=VBR")
+    ap.add_argument("-bitrate", type=int, default=1250, help="kbps")
+    ap.add_argument("-vbv_size", type=float, default=1.0,
+                    help="in units of bitrate (seconds)")
+    ap.add_argument("-vbv_init", type=float, default=0.35,
+                    help="in units of vbv_size")
+    ap.add_argument("-n_wpp_threads", type=int, default=0,
+                    help="0: no WPP; >0: per-CTU-row entropy substreams")
+    ap.add_argument("-search_range", type=int, default=16)
+    ap.add_argument("-n_frames", type=int, default=1000)
+    ap.add_argument("-skipped_frames", type=int, default=0)
+    ap.add_argument("-backend", default="jax", choices=("jax", "golden"))
+    return ap.parse_args(argv)
+
+
+def read_yuv_frames(path, w, h, n, skip=0):
+    fsize = w * h * 3 // 2
+    with open(path, "rb") as f:
+        f.seek(skip * fsize)
+        for _ in range(n):
+            data = f.read(fsize)
+            if len(data) < fsize:
+                return
+            y = np.frombuffer(data, np.uint8, w * h).reshape(h, w)
+            u = np.frombuffer(data, np.uint8, w * h // 4,
+                              w * h).reshape(h // 2, w // 2)
+            v = np.frombuffer(data, np.uint8, w * h // 4,
+                              w * h * 5 // 4).reshape(h // 2, w // 2)
+            yield y, u, v
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    w, h = map(int, args.size.lower().split("x"))
+
+    from homerhevc_tpu.api import HomerEncoder
+    from homerhevc_tpu.config import (BitrateMode, EncoderConfig, MEPrecision)
+
+    cfg = EncoderConfig(
+        width=w, height=h, frame_rate=args.frame_rate, cu_size=args.cu_size,
+        intra_period=(1 if args.gop_size == 0 else args.intra_period),
+        gop_size=args.gop_size, qp=args.qp,
+        chroma_qp_offset=args.chroma_qp_offset,
+        bitrate_mode=BitrateMode(args.bitrate_mode), bitrate=args.bitrate,
+        vbv_size=int(args.vbv_size * args.bitrate),
+        vbv_init=int(args.vbv_init * args.vbv_size * args.bitrate),
+        sign_hiding=bool(args.sign_hiding),
+        sample_adaptive_offset=bool(args.sao),
+        deblocking=bool(args.deblocking),
+        motion_estimation_precision=MEPrecision(args.motion_estimation_precision),
+        me_search_range=args.search_range,
+        wpp=args.n_wpp_threads > 0)
+
+    enc = HomerEncoder(cfg, backend=args.backend)
+    out_f = open(args.output, "wb") if args.output else None
+    raw_f = open(args.output_raw, "wb") if args.output_raw else None
+
+    n = 0
+    t0 = time.time()
+    for y, u, v in read_yuv_frames(args.input, w, h, args.n_frames,
+                                   args.skipped_frames):
+        au = enc.encode_frame(y, u, v)
+        if out_f:
+            out_f.write(au)
+        if raw_f:
+            for p in enc.last_recon:
+                raw_f.write(np.ascontiguousarray(p).tobytes())
+        print(f"POC:{n}, {'I' if (n == 0 or (cfg.intra_period and (n - enc.last_idr) == 0)) else 'P'}, "
+              f"bits:{len(au) * 8}, qp: {enc.last_qp}", flush=True)
+        n += 1
+    dt = time.time() - t0
+    if out_f:
+        out_f.close()
+    if raw_f:
+        raw_f.close()
+    enc.close()
+    print(f"{n} frames in {dt*1000:.0f} milliseconds: {n/dt:f} fps")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,200 @@
+"""Public encoder API — the framework's equivalent of the reference's
+6-function C API (homer_hevc_enc_api.h:169-174: HOMER_enc_init /
+enc_control / enc_encode / enc_get_coded_frame / enc_write_annex_b_output /
+enc_close), re-shaped as a streaming Python session.
+
+    enc = HomerEncoder(EncoderConfig(width=1280, height=720, qp=32))
+    for y, u, v in frames:
+        au = enc.encode_frame(y, u, v)     # Annex-B bytes for one AU
+        recon = enc.last_recon             # decoder-identical output frame
+    enc.close()
+
+Arbitrary even frame sizes are supported: planes are padded to the CTU grid
+internally and the SPS conformance window crops on the decoder side (same
+mechanism as the reference's pict conformance handling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import BitrateMode, EncoderConfig, MEPrecision
+from .entropy import headers
+from .pipeline import assemble
+
+
+def _pad_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
+    ph, pw = h - a.shape[0], w - a.shape[1]
+    if ph == 0 and pw == 0:
+        return a
+    return np.pad(a, ((0, ph), (0, pw)), mode="edge")
+
+
+class HomerEncoder:
+    """Streaming HEVC encoder session (IDR + P low-delay structure)."""
+
+    def __init__(self, cfg: EncoderConfig, *, backend: str = "jax"):
+        if backend not in ("golden", "jax"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.cfg = cfg.validate()
+        self.backend = backend
+        c = self.cfg
+        self.ctu_log2 = c.ctu_size.bit_length() - 1
+        self.pw = c.padded_width
+        self.ph = c.padded_height
+        self.params = headers.StreamParams(
+            width=c.width, height=c.height,
+            pad_right=self.pw - c.width, pad_bottom=self.ph - c.height,
+            ctu_log2=self.ctu_log2, min_cu_log2=self.ctu_log2,
+            max_tu_log2=min(5, self.ctu_log2),
+            max_tr_depth_intra=0, max_tr_depth_inter=0,
+            init_qp=c.qp, sign_hiding=c.sign_hiding,
+            deblocking_disabled=not c.deblocking, num_ref_frames=1,
+            wpp_enabled=c.wpp,
+            cb_qp_offset=c.chroma_qp_offset, cr_qp_offset=c.chroma_qp_offset)
+        self.poc = 0
+        self.last_idr = 0
+        self._ref = None          # host planes (golden) or device (jax)
+        self.last_recon = None    # cropped decoder-identical output
+        self.last_qp = c.qp
+        self.frame_bytes = []
+        # rate control (host-side scalar state; hmr_rate_control.c role)
+        self._rc = None
+        if c.bitrate_mode != BitrateMode.FIXED_QP:
+            from .rate_control import RateControl
+            self._rc = RateControl(c)
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     *, force_idr: bool = False) -> bytes:
+        c = self.cfg
+        assert y.shape == (c.height, c.width), "frame size mismatch"
+        yp = _pad_to(np.asarray(y, np.uint8), self.ph, self.pw)
+        up = _pad_to(np.asarray(u, np.uint8), self.ph // 2, self.pw // 2)
+        vp = _pad_to(np.asarray(v, np.uint8), self.ph // 2, self.pw // 2)
+
+        is_idr = (self.poc == 0 or force_idr
+                  or (c.intra_period > 0
+                      and (self.poc - self.last_idr) % c.intra_period == 0))
+        qp = self._rc.frame_qp(is_idr) if self._rc else c.qp
+        qp = int(np.clip(qp, 0, 51))
+        self.last_qp = qp
+
+        if self.backend == "jax":
+            au, recon_padded = self._encode_jax(yp, up, vp, is_idr, qp)
+        else:
+            au, recon_padded = self._encode_golden(yp, up, vp, is_idr, qp)
+
+        if is_idr:
+            self.last_idr = self.poc
+        self.poc += 1
+        self.frame_bytes.append(len(au))
+        if self._rc:
+            self._rc.end_frame(len(au) * 8, is_idr)
+        self.last_recon = tuple(
+            p[:h, :w] for p, (h, w) in zip(
+                recon_padded, ((c.height, c.width),
+                               (c.height // 2, c.width // 2),
+                               (c.height // 2, c.width // 2))))
+        return au
+
+    # ------------------------------------------------------------------
+    def _encode_jax(self, yp, up, vp, is_idr, qp):
+        import jax.numpy as jnp
+
+        from .entropy import native_backend
+        from .ops.inter_golden import derive_block_decisions_fast
+        from .pipeline import intra_jax, p_jax
+
+        c = self.cfg
+        size = 1 << self.ctu_log2
+        deblk = c.deblocking
+        if is_idr:
+            out = intra_jax.encode_frame_intra(
+                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                B=size, qp=qp, sign_hiding=c.sign_hiding)
+            maps = native_backend.maps_from_intra_grid(
+                np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
+                out["lev_v"], size)
+            au = assemble.assemble_idr_au_from_maps(
+                self.params, maps, slice_qp=qp,
+                include_parameter_sets=(self.poc == 0))
+            if deblk:
+                self._ref = p_jax.deblock_intra_device(
+                    out["recon_y"], out["recon_u"], out["recon_v"],
+                    B=size, qp=qp)
+            else:
+                self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        else:
+            out = p_jax.p_frame_device(
+                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                *self._ref, B=size, qp=qp,
+                search=c.me_search_range,
+                me_precision=int(c.motion_estimation_precision),
+                deblock=deblk, sign_hiding=c.sign_hiding)
+            mvs = np.asarray(out["mvs"])
+            lev_y = np.asarray(out["lev_y"])
+            lev_u = np.asarray(out["lev_u"])
+            lev_v = np.asarray(out["lev_v"])
+            has_resid = (np.any(lev_y, axis=(-1, -2))
+                         | np.any(lev_u, axis=(-1, -2))
+                         | np.any(lev_v, axis=(-1, -2)))
+            dec, _ = derive_block_decisions_fast(mvs, has_resid, size, 5)
+            maps = native_backend.maps_from_p_arrays(mvs, dec, lev_y, lev_u,
+                                                     lev_v, size)
+            au = assemble.assemble_p_au_from_maps(
+                self.params, maps, poc=self.poc - self.last_idr, slice_qp=qp)
+            key = "ref" if deblk else "recon"
+            self._ref = (out[key + "_y"], out[key + "_u"], out[key + "_v"])
+        recon = tuple(np.asarray(p) for p in self._ref)
+        return au, recon
+
+    # ------------------------------------------------------------------
+    def _encode_golden(self, yp, up, vp, is_idr, qp):
+        from .pipeline import gop as gop_mod
+        from .pipeline import intra_golden, p_golden
+
+        c = self.cfg
+        size = 1 << self.ctu_log2
+        h, w = yp.shape
+        if is_idr:
+            plan = intra_golden.encode_intra_frame(
+                yp, up, vp, qp=qp, ctu_log2=self.ctu_log2,
+                sign_hiding=c.sign_hiding)
+            au = assemble.assemble_idr_au(
+                self.params, plan.ctu_plans, slice_qp=qp,
+                include_parameter_sets=(self.poc == 0))
+            ref = gop_mod._deblock_intra(plan.recon, qp, h, w, min(size, 32),
+                                         c.deblocking)
+        else:
+            pplan = p_golden.encode_p_frame(
+                yp, up, vp, self._ref, qp=qp, ctu_log2=self.ctu_log2,
+                search=c.me_search_range,
+                me_precision=int(c.motion_estimation_precision),
+                sign_hiding=c.sign_hiding)
+            au = assemble.assemble_p_au(self.params, pplan.ctu_plans,
+                                        poc=self.poc - self.last_idr,
+                                        slice_qp=qp)
+            ref = gop_mod._deblock_inter(pplan.recon, qp, h, w, min(size, 32),
+                                         pplan.field, pplan.cbf_y_unit,
+                                         c.deblocking)
+        self._ref = ref
+        return au, ref
+
+    # ------------------------------------------------------------------
+    def close(self) -> None:
+        self._ref = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_annex_b(path: str, aus: list[bytes]) -> None:
+    """Role of HOMER_enc_write_annex_b_output (hmr_encoder_lib.c:2196):
+    AUs already carry start codes; this just concatenates to a file."""
+    with open(path, "wb") as f:
+        for au in aus:
+            f.write(au)

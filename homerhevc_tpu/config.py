@@ -66,6 +66,7 @@ class EncoderConfig:
     num_b: int = 0
     num_ref_frames: int = 1
     motion_estimation_precision: MEPrecision = MEPrecision.QUARTER_PEL
+    me_search_range: int = 16         # integer-pel full-search window radius
 
     # Rate control.
     qp: int = 32
@@ -82,6 +83,10 @@ class EncoderConfig:
     deblocking: bool = True
     rd_mode: RDMode = RDMode.FAST
     performance_mode: PerformanceMode = PerformanceMode.FAST_COMPUTATION
+
+    # WPP: entropy_coding_sync per-CTU-row substreams (reference default on,
+    # wfpp_num_threads=10, homer_app.c:320).
+    wpp: bool = False
 
     # Parallelism (TPU): replaces wfpp_num_threads / num_enc_engines.
     # Number of devices over which CTU rows are sharded within a frame, and

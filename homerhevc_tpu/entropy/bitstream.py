@@ -89,6 +89,28 @@ def ebsp_escape(rbsp: bytes) -> bytes:
     return bytes(out)
 
 
+def ebsp_segment_sizes(rbsp: bytes, boundaries: list[int]) -> list[int]:
+    """Escaped byte counts of RBSP segments [b0:b1), [b1:b2), ...
+
+    entry_point_offset values count bytes of the NAL unit payload INCLUDING
+    emulation-prevention bytes (spec 7.4.7.1) — role of the reference's
+    count_needed_start_codes (hmr_headers.c:586-616). The zero-run scan state
+    carries continuously across segment boundaries, matching ebsp_escape.
+    """
+    sizes = []
+    zeros = 0
+    for a, b in zip(boundaries[:-1], boundaries[1:]):
+        n = 0
+        for byte in rbsp[a:b]:
+            if zeros >= 2 and byte <= 3:
+                n += 1
+                zeros = 0
+            n += 1
+            zeros = zeros + 1 if byte == 0 else 0
+        sizes.append(n)
+    return sizes
+
+
 def nal_unit(nal_type: int, rbsp: bytes, temporal_id: int = 0,
              layer_id: int = 0) -> bytes:
     """Two-byte NAL unit header (spec 7.3.1.2) + EBSP payload."""

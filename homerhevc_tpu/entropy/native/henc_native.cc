@@ -197,6 +197,7 @@ struct SliceParams {
   int32_t ctu_log2, min_cu_log2;
   int32_t max_tr_depth_intra, max_tr_depth_inter;
   int32_t sign_hiding, slice_type, max_merge_cand;
+  int32_t wpp;  // entropy_coding_sync: per-CTU-row substreams + ctx sync
 };
 
 struct Maps {
@@ -245,7 +246,7 @@ struct SliceEnc {
     for (int y = y0; y < y0 + size && y < p.pic_height; y += 4)
       for (int x = x0; x < x0 + size && x < p.pic_width; x += 4)
         g_avail[U(x, y)] = 1;
-    bac->terminate(is_last ? 1 : 0);
+    bac->terminate(is_last ? 1 : 0);  // end_of_slice_segment_flag
   }
 
   void coding_quadtree(int x0, int y0, int log2_size, int depth) {
@@ -788,8 +789,11 @@ extern "C" {
 
 // Encodes slice_data() for all CTUs in raster order. ctx_state / ctx_mps are
 // the NUM_CTX initialised context arrays (computed by the Python side from
-// the normative init tables). Returns the number of bytes written to out
-// (or -1 if out_cap was too small).
+// the normative init tables). With sp->wpp, each CTU row becomes its own
+// byte-aligned substream (entropy_coding_sync, spec 9.3.2.2 context sync
+// from the above-right CTU) and substream_sizes[r] receives each row's RBSP
+// byte count (pass NULL when wpp is 0). Returns the number of bytes written
+// to out (or -1 if out_cap was too small).
 int henc_encode_slice(const SliceParams* sp, const int8_t* depth,
                       const int8_t* luma_mode, const int8_t* chroma_mode,
                       const uint8_t* part_nxn, const int8_t* tr_depth,
@@ -798,7 +802,8 @@ int henc_encode_slice(const SliceParams* sp, const int8_t* depth,
                       const int32_t* mvd, const int8_t* mvp_idx,
                       const int32_t* coeff_y, const int32_t* coeff_cb,
                       const int32_t* coeff_cr, uint8_t* ctx_state,
-                      uint8_t* ctx_mps, uint8_t* out, int out_cap) {
+                      uint8_t* ctx_mps, uint8_t* out, int out_cap,
+                      int32_t* substream_sizes) {
   BitWriter bw;
   Bac bac;
   bac.bw = &bw;
@@ -811,10 +816,50 @@ int henc_encode_slice(const SliceParams* sp, const int8_t* depth,
   int ctu = 1 << sp->ctu_log2;
   int nx = (sp->pic_width + ctu - 1) / ctu;
   int ny = (sp->pic_height + ctu - 1) / ctu;
-  for (int r = 0; r < ny; r++)
-    for (int c = 0; c < nx; c++)
-      enc.encode_ctu(c * ctu, r * ctu, r == ny - 1 && c == nx - 1);
-  bw.align_zero();
+
+  std::vector<uint8_t> init_state, init_mps, wpp_state(NUM_CTX),
+      wpp_mps(NUM_CTX);
+  bool have_snapshot = false;
+  if (sp->wpp) {
+    init_state.assign(ctx_state, ctx_state + NUM_CTX);
+    init_mps.assign(ctx_mps, ctx_mps + NUM_CTX);
+  }
+
+  size_t row_start = 0;
+  for (int r = 0; r < ny; r++) {
+    if (sp->wpp && r > 0) {
+      // context sync (spec 9.3.2.2): restore the snapshot taken after the
+      // second CTU of the row above; re-init if it does not exist.
+      if (nx > 1 && have_snapshot) {
+        std::memcpy(ctx_state, wpp_state.data(), NUM_CTX);
+        std::memcpy(ctx_mps, wpp_mps.data(), NUM_CTX);
+      } else {
+        std::memcpy(ctx_state, init_state.data(), NUM_CTX);
+        std::memcpy(ctx_mps, init_mps.data(), NUM_CTX);
+      }
+      bac = Bac();
+      bac.bw = &bw;
+      bac.state = ctx_state;
+      bac.mps = ctx_mps;
+      enc.bac = &bac;
+    }
+    for (int c = 0; c < nx; c++) {
+      bool last_in_slice = r == ny - 1 && c == nx - 1;
+      enc.encode_ctu(c * ctu, r * ctu, last_in_slice);
+      if (sp->wpp && c == 1) {
+        std::memcpy(wpp_state.data(), ctx_state, NUM_CTX);
+        std::memcpy(wpp_mps.data(), ctx_mps, NUM_CTX);
+        have_snapshot = true;
+      }
+      if (sp->wpp && c == nx - 1 && !last_in_slice)
+        bac.terminate(1);  // end_of_subset_one_bit
+    }
+    if (sp->wpp || r == ny - 1) bw.align_zero();
+    if (sp->wpp && substream_sizes) {
+      substream_sizes[r] = (int32_t)(bw.buf.size() - row_start);
+      row_start = bw.buf.size();
+    }
+  }
   if ((int)bw.buf.size() > out_cap) return -1;
   std::memcpy(out, bw.buf.data(), bw.buf.size());
   return (int)bw.buf.size();

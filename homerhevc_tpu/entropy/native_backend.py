@@ -27,7 +27,7 @@ class _SliceParams(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in (
         "pic_width", "pic_height", "ctu_log2", "min_cu_log2",
         "max_tr_depth_intra", "max_tr_depth_inter", "sign_hiding",
-        "slice_type", "max_merge_cand")]
+        "slice_type", "max_merge_cand", "wpp")]
 
 
 def _build() -> None:
@@ -164,8 +164,12 @@ def maps_from_p_arrays(mvs: np.ndarray, dec: dict, lev_y, lev_u, lev_v,
 
 
 def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
-                           slice_type: int, max_merge_cand: int = 5) -> bytes:
-    """Encode slice_data() from frame-level unit maps via the C++ walker."""
+                           slice_type: int, max_merge_cand: int = 5,
+                           wpp: bool = False):
+    """Encode slice_data() from frame-level unit maps via the C++ walker.
+
+    Returns bytes, or (bytes, substream_sizes) when wpp is set.
+    """
     from .cabac import ContextSet
     from .headers import SLICE_B, SLICE_I, SLICE_P
 
@@ -180,9 +184,12 @@ def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
 
     sp = _SliceParams(pic_w, pic_h, params.ctu_log2, params.min_cu_log2,
                       params.max_tr_depth_intra, params.max_tr_depth_inter,
-                      int(params.sign_hiding), slice_type, max_merge_cand)
+                      int(params.sign_hiding), slice_type, max_merge_cand,
+                      int(wpp))
     cap = pic_w * pic_h * 4 + 4096
     out = np.zeros(cap, np.uint8)
+    ny = -(-pic_h // (1 << params.ctu_log2))
+    sizes = np.zeros(ny, np.int32)
 
     # Keep converted arrays alive for the duration of the call.
     arrs = [_c8(maps["depth"]), _c8(maps["luma_mode"]), _c8(maps["chroma_mode"]),
@@ -191,11 +198,15 @@ def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
             _c8(maps["merge_idx"]), _i32(maps["mvd"]), _c8(maps["mvp_idx"]),
             _i32(maps["coeff_y"]), _i32(maps["coeff_cb"]), _i32(maps["coeff_cr"]),
             state, mps, out]
-    args = [ctypes.byref(sp)] + [a.ctypes.data_as(ctypes.c_void_p)
-                                 for a in arrs] + [ctypes.c_int(cap)]
+    args = ([ctypes.byref(sp)] + [a.ctypes.data_as(ctypes.c_void_p)
+                                  for a in arrs]
+            + [ctypes.c_int(cap), sizes.ctypes.data_as(ctypes.c_void_p)])
     n = lib.henc_encode_slice(*args)
     assert n >= 0, "native slice encoder overflow"
-    return bytes(out[:n].tobytes())
+    data = bytes(out[:n].tobytes())
+    if wpp:
+        return data, [int(s) for s in sizes]
+    return data
 
 
 def encode_slice_data_native(params, plans, *, slice_qp: int, slice_type: int,

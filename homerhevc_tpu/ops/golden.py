@@ -217,11 +217,18 @@ def sign_bit_hiding(levels_in_scan: np.ndarray,
                     is_intra: bool, bit_depth: int = 8) -> np.ndarray:
     """Sign-data-hiding parity fix-up per 4x4 coefficient group.
 
-    When SBH is on, the decoder infers the sign of the DC-most significant
-    coefficient of each group (gap > 3) from the parity of the absolute sum;
-    the encoder must therefore force that parity. We adjust the level whose
-    +-1 change has the smallest quantisation-error increase (same objective
-    as hmr_quant.c:61-169, recomputed from the pre-quant coefficients).
+    When SBH is on, the decoder infers the sign of the DC-most (first in
+    scan order) significant coefficient of each group with gap > 3 from the
+    parity of the absolute-level sum; the encoder must force that parity
+    (role of hmr_quant.c:61-169). We change the MAGNITUDE of the level whose
+    +/-1 change has the smallest quantisation-error increase, with
+    constraints that keep the hidden-sign coefficient identity stable:
+      * the first significant coeff must stay nonzero,
+      * zero coeffs before `first` are never raised (would change `first`),
+      * raising a zero past `last` is allowed but heavily penalised.
+    Any parity-correct adjustment yields a conformant stream; the choice
+    only affects distortion. Candidate order (j asc, +1 before -1) and
+    strict-less selection are mirrored exactly by the JAX twin.
 
     levels_in_scan / coeffs_in_scan: flat arrays in scan order.
     Returns the adjusted levels.
@@ -242,30 +249,33 @@ def sign_bit_hiding(levels_in_scan: np.ndarray,
         if (int(np.abs(seg).sum()) & 1) == sign:
             continue
         cseg = coeffs_in_scan[g * 16:(g + 1) * 16].astype(np.int64)
-        # Exact (unrounded) quantised magnitude in qbits fixed point.
-        exact = np.abs(cseg) * scale
-        best_j, best_delta, best_err = -1, 0, None
+        # Unrounded quantised magnitude, rescaled to 9-bit fixed point so the
+        # error metric fits int32 (the JAX twin computes the identical value
+        # without 64-bit support).
+        exact9 = (np.abs(cseg) * scale) >> (qbits - 9)
+        best_j, best_d, best_err = -1, 0, None
         for j in range(16):
-            lev = int(seg[j])
-            for delta in (1, -1):
-                new = lev + delta
-                if abs(new) > 32767 or new < 0 and lev == 0:
+            mag = abs(int(seg[j]))
+            for d in (1, -1):
+                new_mag = mag + d
+                if new_mag < 0 or new_mag > 32767:
                     continue
-                if j == first and new == 0:
+                if j == first and new_mag == 0:
                     continue          # keep hidden-sign coeff nonzero
-                if lev == 0 and j > last:
-                    # growing the group tail changes `last`; allowed but make
-                    # it expensive so it is only picked as a last resort
-                    penalty = 1 << qbits
+                if mag == 0:
+                    if d < 0 or j < first:
+                        continue
+                    penalty = (1 << 26) if j > last else 0
                 else:
                     penalty = 0
-                if lev == 0 and delta < 0:
-                    continue
-                err = abs(abs(new) * (1 << qbits) - int(exact[j])) + penalty
+                err = abs((new_mag << 9) - int(exact9[j])) + penalty
                 if best_err is None or err < best_err:
-                    best_j, best_delta, best_err = j, delta, err
+                    best_j, best_d, best_err = j, d, err
         if best_j >= 0:
-            s = -1 if (out[g * 16 + best_j] < 0 or
-                       (out[g * 16 + best_j] == 0 and cseg[best_j] < 0)) else 1
-            out[g * 16 + best_j] += best_delta * s
+            mag = abs(int(seg[best_j])) + best_d
+            if seg[best_j] != 0:
+                s = -1 if seg[best_j] < 0 else 1
+            else:
+                s = -1 if cseg[best_j] < 0 else 1
+            out[g * 16 + best_j] = s * mag
     return out

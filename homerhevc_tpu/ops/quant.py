@@ -1,7 +1,9 @@
 """JAX quantisation / dequantisation (HM forward; spec 8.6.3 inverse).
 
 Equivalent of hmr_quant.c:172-258 — elementwise integer ops that XLA fuses
-into the surrounding transform matmuls.
+into the surrounding transform matmuls. `qp` may be a python int or a
+traced scalar: all QP-dependent factors are gathers/shifts, so rate control
+can vary QP per frame without recompiling the device step.
 """
 
 from __future__ import annotations
@@ -12,11 +14,11 @@ import jax.numpy as jnp
 from .. import tables
 
 
-def quantize(coeff: jax.Array, qp: int, log2_size: int, *, is_intra: bool,
+def quantize(coeff: jax.Array, qp, log2_size: int, *, is_intra: bool,
              bit_depth: int = 8) -> jax.Array:
     tshift = tables.MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     qbits = tables.QUANT_SHIFT + qp // 6 + tshift
-    scale = int(tables.QUANT_SCALES[qp % 6])
+    scale = jnp.asarray(tables.QUANT_SCALES)[qp % 6]
     add = (171 if is_intra else 85) << (qbits - 9)
     c = coeff.astype(jnp.int64)
     level = (jnp.abs(c) * scale + add) >> qbits
@@ -24,10 +26,87 @@ def quantize(coeff: jax.Array, qp: int, log2_size: int, *, is_intra: bool,
     return (jnp.sign(c) * level).astype(jnp.int32)
 
 
-def dequantize(level: jax.Array, qp: int, log2_size: int,
+def sign_bit_hiding(levels: jax.Array, coeffs: jax.Array, qp,
+                    log2_size: int, bit_depth: int = 8) -> jax.Array:
+    """Batched JAX twin of golden.sign_bit_hiding for (..., N, N) blocks
+    with diagonal scan (all TB sizes our pipelines emit use SCAN_DIAG).
+
+    Same candidate order (j asc, +1 before -1) and strict-less selection as
+    the golden loop, so both pick identical adjustments.
+    """
+    import numpy as np
+
+    from .. import tables as t
+
+    n = levels.shape[-1]
+    log2 = n.bit_length() - 1
+    assert log2 == log2_size
+    scan = np.asarray(t.coeff_scan(log2_size, t.SCAN_DIAG))
+    inv = np.zeros_like(scan)
+    inv[scan] = np.arange(scan.size)
+
+    tshift = t.MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = t.QUANT_SHIFT + qp // 6 + tshift
+    scale = jnp.asarray(t.QUANT_SCALES)[qp % 6]
+
+    lead = levels.shape[:-2]
+    G = (n * n) // 16
+    ls = levels.reshape(*lead, n * n)[..., scan].reshape(*lead, G, 16)
+    cs = coeffs.reshape(*lead, n * n)[..., scan].reshape(*lead, G, 16)
+    mag = jnp.abs(ls)
+    nz = ls != 0
+    idx = jnp.arange(16, dtype=jnp.int32)
+    BIGI = jnp.int32(99)
+    first = jnp.min(jnp.where(nz, idx, BIGI), axis=-1)          # (..., G)
+    last = jnp.max(jnp.where(nz, idx, -1), axis=-1)
+    has = jnp.any(nz, axis=-1)
+    sign_flag = jnp.take_along_axis(
+        ls, jnp.clip(first, 0, 15)[..., None], axis=-1)[..., 0] < 0
+    parity = (jnp.sum(mag, axis=-1) & 1).astype(jnp.int32)
+    need = has & (last - first > 3) & (parity != sign_flag.astype(jnp.int32))
+
+    exact9 = (jnp.abs(cs) * scale) >> (qbits - 9)               # (..., G, 16)
+    BIG = jnp.int32(1 << 30)
+    cand_errs = []
+    cand_mags = []
+    for d in (1, -1):
+        new_mag = mag + d
+        invalid = (new_mag < 0) | (new_mag > 32767)
+        invalid |= (idx == first[..., None]) & (new_mag == 0)
+        is_zero = mag == 0
+        if d < 0:
+            invalid |= is_zero
+        else:
+            invalid |= is_zero & (idx < first[..., None])
+        penalty = jnp.where(is_zero & (idx > last[..., None]) & (d > 0),
+                            1 << 26, 0)
+        err = jnp.abs((new_mag << 9) - exact9) + penalty
+        cand_errs.append(jnp.where(invalid, BIG, err))
+        cand_mags.append(new_mag)
+    # interleave so flat candidate order is (j, +1), (j, -1), matching the
+    # golden loop; argmin picks the first minimum.
+    errs = jnp.stack(cand_errs, axis=-1).reshape(*lead, G, 32)
+    mags = jnp.stack(cand_mags, axis=-1).reshape(*lead, G, 32)
+    k = jnp.argmin(errs, axis=-1)                                # (..., G)
+    bj = (k // 2).astype(jnp.int32)
+    new_mag_sel = jnp.take_along_axis(mags, k[..., None], axis=-1)[..., 0]
+    valid = jnp.take_along_axis(errs, k[..., None], axis=-1)[..., 0] < BIG
+
+    orig_sel = jnp.take_along_axis(ls, bj[..., None], axis=-1)[..., 0]
+    csel = jnp.take_along_axis(cs, bj[..., None], axis=-1)[..., 0]
+    s = jnp.where(orig_sel != 0, jnp.where(orig_sel < 0, -1, 1),
+                  jnp.where(csel < 0, -1, 1))
+    newval = s * new_mag_sel
+    apply = (need & valid)[..., None] & (idx == bj[..., None])
+    out_scan = jnp.where(apply, newval[..., None], ls)
+    flat = out_scan.reshape(*lead, n * n)[..., inv]
+    return flat.reshape(levels.shape)
+
+
+def dequantize(level: jax.Array, qp, log2_size: int,
                bit_depth: int = 8) -> jax.Array:
     bd_shift = bit_depth + log2_size - 5
-    scale = int(tables.INV_QUANT_SCALES[qp % 6]) << (qp // 6)
+    scale = jnp.asarray(tables.INV_QUANT_SCALES)[qp % 6] << (qp // 6)
     c = level.astype(jnp.int64) * (scale * 16)
     c = (c + (1 << (bd_shift - 1))) >> bd_shift
     return jnp.clip(c, -32768, 32767).astype(jnp.int32)

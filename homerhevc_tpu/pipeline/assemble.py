@@ -25,6 +25,18 @@ def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
     native=None (default): use the C++ backend when available (byte-identical
     to the Python path, ~60x faster); False forces the Python oracle.
     """
+    if params.wpp_enabled:
+        from ..entropy import native_backend
+        if native is not False and native_backend.available():
+            maps = native_backend.frame_maps_from_plans(
+                plans, params.width + params.pad_right,
+                params.height + params.pad_bottom, 1 << params.ctu_log2)
+            return native_backend.encode_slice_from_maps(
+                params, maps, slice_qp=slice_qp, slice_type=slice_type,
+                max_merge_cand=max_merge_cand, wpp=True)
+        return encode_slice_data_wpp(params, plans, slice_qp=slice_qp,
+                                     slice_type=slice_type,
+                                     max_merge_cand=max_merge_cand)
     if native is None or native:
         from ..entropy import native_backend
         if native_backend.available():
@@ -54,6 +66,66 @@ def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
     return bw.get_bytes()
 
 
+def encode_slice_data_wpp(params: headers.StreamParams, plans, *,
+                          slice_qp: int,
+                          slice_type: int = headers.SLICE_I,
+                          max_merge_cand: int = 5):
+    """Python-oracle WPP slice data: per-CTU-row byte-aligned substreams
+    with context sync from the above-right CTU (spec 9.3.2.2; role of
+    wfpp_encode_select_bitstream / ee_copy_entropy_model,
+    hmr_encoder_lib.c:2299-2383). Returns (bytes, substream_sizes)."""
+    pic_w = params.width + params.pad_right
+    pic_h = params.height + params.pad_bottom
+    ctu = 1 << params.ctu_log2
+    nx, ny = pic_w // ctu, -(-pic_h // ctu)
+    init_type = {headers.SLICE_I: 0, headers.SLICE_P: 1,
+                 headers.SLICE_B: 2}[slice_type]
+    ctxs = ContextSet(init_type, slice_qp)
+    init_copy = ctxs.copy()
+    bw = bs.BitWriter()
+    enc = CabacEncoder(bw)
+    syn = SliceSyntaxEncoder(
+        enc, ctxs, pic_width=pic_w, pic_height=pic_h,
+        ctu_log2=params.ctu_log2, min_cu_log2=params.min_cu_log2,
+        max_tr_depth_intra=params.max_tr_depth_intra,
+        max_tr_depth_inter=params.max_tr_depth_inter,
+        sign_hiding=params.sign_hiding, slice_type=slice_type,
+        max_merge_cand=max_merge_cand)
+    snapshot = None
+    sizes = []
+    prev = 0
+    for r in range(ny):
+        if r > 0:
+            ctxs.load(snapshot if (nx > 1 and snapshot) else init_copy)
+            enc = CabacEncoder(bw)
+            syn.enc = enc
+        for c in range(nx):
+            last = r == ny - 1 and c == nx - 1
+            syn.encode_ctu(plans[r * nx + c], is_last=last)
+            if c == 1:
+                snapshot = ctxs.copy()
+            if c == nx - 1 and not last:
+                enc.encode_terminate(1)      # end_of_subset_one_bit
+        bw.align_zero()
+        total = bw.bit_count // 8
+        sizes.append(total - prev)
+        prev = total
+    return bw.get_bytes(), sizes
+
+
+def _wpp_slice_header(params, data, sizes, *, slice_type, is_idr, is_irap,
+                      poc, slice_qp, max_merge_cand=5):
+    bounds = [0]
+    for s in sizes:
+        bounds.append(bounds[-1] + s)
+    esc = bs.ebsp_segment_sizes(data, bounds)
+    offsets = esc[:-1]
+    return headers.write_slice_header(
+        params, slice_type=slice_type, is_idr=is_idr, is_irap=is_irap,
+        poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand,
+        num_entry_points=len(offsets), entry_point_offsets=offsets)
+
+
 def assemble_idr_au(params: headers.StreamParams, plans, *, slice_qp: int,
                     include_parameter_sets: bool = True) -> bytes:
     """Build one IDR access unit (optionally VPS+SPS+PPS first)."""
@@ -62,11 +134,18 @@ def assemble_idr_au(params: headers.StreamParams, plans, *, slice_qp: int,
         out += bs.annexb_wrap(bs.nal_unit(bs.NAL_VPS, headers.write_vps(params)), True)
         out += bs.annexb_wrap(bs.nal_unit(bs.NAL_SPS, headers.write_sps(params)), True)
         out += bs.annexb_wrap(bs.nal_unit(bs.NAL_PPS, headers.write_pps(params)), True)
-    sh = headers.write_slice_header(
-        params, slice_type=headers.SLICE_I, is_idr=True, is_irap=True,
-        poc=0, slice_qp=slice_qp)
-    slice_payload = sh.get_bytes() + encode_slice_data(params, plans,
-                                                       slice_qp=slice_qp)
+    if params.wpp_enabled:
+        data, sizes = encode_slice_data(params, plans, slice_qp=slice_qp)
+        sh = _wpp_slice_header(params, data, sizes,
+                               slice_type=headers.SLICE_I, is_idr=True,
+                               is_irap=True, poc=0, slice_qp=slice_qp)
+        slice_payload = sh.get_bytes() + data
+    else:
+        sh = headers.write_slice_header(
+            params, slice_type=headers.SLICE_I, is_idr=True, is_irap=True,
+            poc=0, slice_qp=slice_qp)
+        slice_payload = sh.get_bytes() + encode_slice_data(params, plans,
+                                                           slice_qp=slice_qp)
     out += bs.annexb_wrap(bs.nal_unit(bs.NAL_IDR_W_RADL, slice_payload), True)
     return bytes(out)
 
@@ -74,12 +153,22 @@ def assemble_idr_au(params: headers.StreamParams, plans, *, slice_qp: int,
 def assemble_p_au(params: headers.StreamParams, plans, *, poc: int,
                   slice_qp: int, max_merge_cand: int = 5) -> bytes:
     """Build one P (TRAIL_R) access unit."""
-    sh = headers.write_slice_header(
-        params, slice_type=headers.SLICE_P, is_idr=False, is_irap=False,
-        poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand)
-    payload = sh.get_bytes() + encode_slice_data(
-        params, plans, slice_qp=slice_qp, slice_type=headers.SLICE_P,
-        max_merge_cand=max_merge_cand)
+    if params.wpp_enabled:
+        data, sizes = encode_slice_data(
+            params, plans, slice_qp=slice_qp, slice_type=headers.SLICE_P,
+            max_merge_cand=max_merge_cand)
+        sh = _wpp_slice_header(params, data, sizes,
+                               slice_type=headers.SLICE_P, is_idr=False,
+                               is_irap=False, poc=poc, slice_qp=slice_qp,
+                               max_merge_cand=max_merge_cand)
+        payload = sh.get_bytes() + data
+    else:
+        sh = headers.write_slice_header(
+            params, slice_type=headers.SLICE_P, is_idr=False, is_irap=False,
+            poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand)
+        payload = sh.get_bytes() + encode_slice_data(
+            params, plans, slice_qp=slice_qp, slice_type=headers.SLICE_P,
+            max_merge_cand=max_merge_cand)
     return bs.annexb_wrap(bs.nal_unit(bs.NAL_TRAIL_R, payload), True)
 
 
@@ -93,12 +182,21 @@ def assemble_idr_au_from_maps(params: headers.StreamParams, maps: dict, *,
         out += bs.annexb_wrap(bs.nal_unit(bs.NAL_VPS, headers.write_vps(params)), True)
         out += bs.annexb_wrap(bs.nal_unit(bs.NAL_SPS, headers.write_sps(params)), True)
         out += bs.annexb_wrap(bs.nal_unit(bs.NAL_PPS, headers.write_pps(params)), True)
-    sh = headers.write_slice_header(
-        params, slice_type=headers.SLICE_I, is_idr=True, is_irap=True,
-        poc=0, slice_qp=slice_qp)
-    payload = sh.get_bytes() + native_backend.encode_slice_from_maps(
-        params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_I)
-    out += bs.annexb_wrap(bs.nal_unit(bs.NAL_IDR_W_RADL, payload), True)
+    if params.wpp_enabled:
+        data, sizes = native_backend.encode_slice_from_maps(
+            params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_I,
+            wpp=True)
+        sh = _wpp_slice_header(params, data, sizes,
+                               slice_type=headers.SLICE_I, is_idr=True,
+                               is_irap=True, poc=0, slice_qp=slice_qp)
+    else:
+        data = native_backend.encode_slice_from_maps(
+            params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_I)
+        sh = headers.write_slice_header(
+            params, slice_type=headers.SLICE_I, is_idr=True, is_irap=True,
+            poc=0, slice_qp=slice_qp)
+    out += bs.annexb_wrap(bs.nal_unit(bs.NAL_IDR_W_RADL,
+                                      sh.get_bytes() + data), True)
     return bytes(out)
 
 
@@ -107,10 +205,20 @@ def assemble_p_au_from_maps(params: headers.StreamParams, maps: dict, *,
                             max_merge_cand: int = 5) -> bytes:
     """P AU via the native maps fast path."""
     from ..entropy import native_backend
-    sh = headers.write_slice_header(
-        params, slice_type=headers.SLICE_P, is_idr=False, is_irap=False,
-        poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand)
-    payload = sh.get_bytes() + native_backend.encode_slice_from_maps(
-        params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_P,
-        max_merge_cand=max_merge_cand)
-    return bs.annexb_wrap(bs.nal_unit(bs.NAL_TRAIL_R, payload), True)
+    if params.wpp_enabled:
+        data, sizes = native_backend.encode_slice_from_maps(
+            params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_P,
+            max_merge_cand=max_merge_cand, wpp=True)
+        sh = _wpp_slice_header(params, data, sizes,
+                               slice_type=headers.SLICE_P, is_idr=False,
+                               is_irap=False, poc=poc, slice_qp=slice_qp,
+                               max_merge_cand=max_merge_cand)
+    else:
+        data = native_backend.encode_slice_from_maps(
+            params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_P,
+            max_merge_cand=max_merge_cand)
+        sh = headers.write_slice_header(
+            params, slice_type=headers.SLICE_P, is_idr=False, is_irap=False,
+            poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand)
+    return bs.annexb_wrap(bs.nal_unit(bs.NAL_TRAIL_R,
+                                      sh.get_bytes() + data), True)

@@ -57,7 +57,8 @@ def _deblock_inter(recon, qp, h, w, tu_size, fld, cbf_y_unit, enabled):
 def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                 deblocking: bool = True, search: int = 16,
                 me_precision: int = 2, max_merge_cand: int = 5,
-                intra_period: int = 0,
+                intra_period: int = 0, sign_hiding: bool = False,
+                wpp: bool = False,
                 backend: str = "golden") -> SequenceResult:
     """Encode frames as IDR + P, P, ... (intra_period 0 = first frame only).
 
@@ -81,8 +82,9 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
             params = headers.StreamParams(
                 width=w, height=h, ctu_log2=ctu_log2, min_cu_log2=ctu_log2,
                 max_tu_log2=min(5, ctu_log2), max_tr_depth_intra=0,
-                max_tr_depth_inter=0, init_qp=qp,
-                deblocking_disabled=not deblocking, num_ref_frames=1)
+                max_tr_depth_inter=0, init_qp=qp, sign_hiding=sign_hiding,
+                deblocking_disabled=not deblocking, num_ref_frames=1,
+                wpp_enabled=wpp)
         is_idr = poc == 0 or (intra_period > 0 and poc % intra_period == 0)
         if backend == "jax":
             import jax.numpy as jnp
@@ -95,7 +97,7 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                 last_idr = poc
                 out = intra_jax.encode_frame_intra(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                    B=size, qp=qp)
+                    B=size, qp=qp, sign_hiding=sign_hiding)
                 maps = native_backend.maps_from_intra_grid(
                     np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
                     out["lev_v"], size)
@@ -112,7 +114,8 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                 out = p_jax.p_frame_device(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     *ref_dev, B=size, qp=qp, search=search,
-                    me_precision=me_precision, deblock=deblocking)
+                    me_precision=me_precision, deblock=deblocking,
+                    sign_hiding=sign_hiding)
                 mvs = np.asarray(out["mvs"])
                 lev_y = np.asarray(out["lev_y"])
                 lev_u = np.asarray(out["lev_u"])
@@ -135,7 +138,8 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
         elif is_idr:
             last_idr = poc
             plan = intra_golden.encode_intra_frame(y, u, v, qp=qp,
-                                                   ctu_log2=ctu_log2)
+                                                   ctu_log2=ctu_log2,
+                                                   sign_hiding=sign_hiding)
             au = assemble.assemble_idr_au(params, plan.ctu_plans, slice_qp=qp,
                                           include_parameter_sets=(poc == 0))
             ref = _deblock_intra(plan.recon, qp, h, w, min(size, 32),
@@ -143,7 +147,8 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
         else:
             pplan = p_golden.encode_p_frame(
                 y, u, v, ref, qp=qp, ctu_log2=ctu_log2, search=search,
-                me_precision=me_precision, max_merge_cand=max_merge_cand)
+                me_precision=me_precision, max_merge_cand=max_merge_cand,
+                sign_hiding=sign_hiding)
             au = assemble.assemble_p_au(params, pplan.ctu_plans,
                                         poc=poc - last_idr, slice_qp=qp,
                                         max_merge_cand=max_merge_cand)

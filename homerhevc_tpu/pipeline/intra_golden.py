@@ -56,8 +56,20 @@ def _gather_refs(rec, x0, y0, size):
     return top, left, corner
 
 
+def _apply_sbh(levels, coeff, qp, log2, is_intra):
+    """Diagonal-scan SBH fix-up on one spatial TB (all our TB sizes scan
+    diagonally; 4x4/8x8 luma mode-dependent scans would need the mode)."""
+    scan = tables.coeff_scan(log2, tables.SCAN_DIAG)
+    ls = levels.reshape(-1)[scan]
+    cssc = coeff.reshape(-1)[scan]
+    adj = golden.sign_bit_hiding(ls, cssc, qp, log2, is_intra=is_intra)
+    out = np.zeros_like(levels).reshape(-1)
+    out[scan] = adj
+    return out.reshape(levels.shape)
+
+
 def _encode_block(orig, rec, x0, y0, size, qp, mode, c_idx, *,
-                  strong_smoothing=True, force_mode=None):
+                  strong_smoothing=True, force_mode=None, sign_hiding=False):
     """Closed-loop encode of one TB: returns (levels, recon_block, ssd)."""
     log2 = size.bit_length() - 1
     pic_h, pic_w = rec.shape
@@ -73,6 +85,8 @@ def _encode_block(orig, rec, x0, y0, size, qp, mode, c_idx, *,
     is_dst = (c_idx == 0 and size == 4)
     coeff = golden.forward_transform(resid, is_dst=is_dst)
     levels = golden.quantize(coeff, qp, log2, is_intra=True)
+    if sign_hiding:
+        levels = _apply_sbh(levels, coeff, qp, log2, True)
     if np.any(levels):
         deq = golden.dequantize(levels, qp, log2)
         r = golden.inverse_transform(deq, is_dst=is_dst)
@@ -89,7 +103,8 @@ def _mode_bits_estimate(mode, mpm_approx):
 
 
 def encode_intra_frame(y, u, v, *, qp: int, ctu_log2: int = 5,
-                       strong_smoothing: bool = True) -> FramePlan:
+                       strong_smoothing: bool = True,
+                       sign_hiding: bool = False) -> FramePlan:
     """Encode one frame all-intra with CU = TU = CTU. Returns plans + recon.
 
     Picture dims must be multiples of the CTU size (caller pads; the SPS
@@ -115,7 +130,8 @@ def encode_intra_frame(y, u, v, *, qp: int, ctu_log2: int = 5,
             for mode in range(35):
                 levels, recon, ssd = _encode_block(
                     y, rec_y, x0, y0, size, qp, mode, 0,
-                    strong_smoothing=strong_smoothing)
+                    strong_smoothing=strong_smoothing,
+                    sign_hiding=sign_hiding)
                 nz = int(np.count_nonzero(levels))
                 bits = 6 + nz * 4  # rough level-bit proxy for decision only
                 cost = ssd + (((lam_fx >> 4) * bits) >> 4)
@@ -127,8 +143,10 @@ def encode_intra_frame(y, u, v, *, qp: int, ctu_log2: int = 5,
             # chroma: derived mode
             cx, cy = x0 // 2, y0 // 2
             csize = size // 2
-            lev_cb, rec_cb, _ = _encode_block(u, rec_u, cx, cy, csize, qp_c, mode, 1)
-            lev_cr, rec_cr, _ = _encode_block(v, rec_v, cx, cy, csize, qp_c, mode, 2)
+            lev_cb, rec_cb, _ = _encode_block(u, rec_u, cx, cy, csize, qp_c,
+                                              mode, 1, sign_hiding=sign_hiding)
+            lev_cr, rec_cr, _ = _encode_block(v, rec_v, cx, cy, csize, qp_c,
+                                              mode, 2, sign_hiding=sign_hiding)
             rec_u[cy:cy + csize, cx:cx + csize] = rec_cb
             rec_v[cy:cy + csize, cx:cx + csize] = rec_cr
 

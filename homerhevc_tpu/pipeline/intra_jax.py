@@ -36,7 +36,8 @@ def lambda_fx(qp: int) -> int:
 
 
 def _encode_block_all_modes(orig, top, left, corner, has_left, has_top, *,
-                            size, c_idx, qp, lam_fx, strong_smoothing):
+                            size, c_idx, qp, lam_fx, strong_smoothing,
+                            sign_hiding=False):
     """All-35-mode closed-loop encode of one block.
 
     Returns (levels (35,N,N), recon (35,N,N), cost (35,) int64).
@@ -50,6 +51,8 @@ def _encode_block_all_modes(orig, top, left, corner, has_left, has_top, *,
     is_dst = (c_idx == 0 and size == 4)
     coeff = tx_ops.forward_transform(resid, is_dst=is_dst)
     levels = quant_ops.quantize(coeff, qp, log2, is_intra=True)
+    if sign_hiding:
+        levels = quant_ops.sign_bit_hiding(levels, coeff, qp, log2)
     deq = quant_ops.dequantize(levels, qp, log2)
     r = tx_ops.inverse_transform(deq, is_dst=is_dst)
     any_nz = jnp.any(levels != 0, axis=(-1, -2))
@@ -66,7 +69,7 @@ def _encode_block_all_modes(orig, top, left, corner, has_left, has_top, *,
 
 
 def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
-             strong_smoothing):
+             strong_smoothing, sign_hiding=False):
     """Process block (r, c=d-2r) of the diagonal (one vmap lane)."""
     y_pad, u_pad, v_pad = planes
     bot_y, right_y, bot_u, right_u, bot_v, right_v = state
@@ -96,7 +99,7 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
     levels35, recon35, cost = _encode_block_all_modes(
         orig, top, left, corner, has_left, has_top,
         size=B, c_idx=0, qp=qp, lam_fx=lam,
-        strong_smoothing=strong_smoothing)
+        strong_smoothing=strong_smoothing, sign_hiding=sign_hiding)
     mode = jnp.argmin(cost).astype(I32)
     lev_y = levels35[mode]
     rec_y = recon35[mode]
@@ -108,7 +111,7 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
         t, l, co = refs_for(bot, right, cx0, B2, W2)
         lv35, rc35, _ = _encode_block_all_modes(
             o, t, l, co, has_left, has_top, size=B2, c_idx=c_idx, qp=qpc,
-            lam_fx=lam_c, strong_smoothing=False)
+            lam_fx=lam_c, strong_smoothing=False, sign_hiding=sign_hiding)
         return lv35[mode], rc35[mode]
 
     lev_u, rec_u = chroma(u_pad, bot_u, right_u, 1, qp_c)
@@ -119,20 +122,25 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
                 lev_v=lev_v, rec_v=rec_v)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "qp", "strong_smoothing"))
-def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp: int,
-                       strong_smoothing: bool = True):
+@functools.partial(jax.jit, static_argnames=("B", "strong_smoothing",
+                                             "sign_hiding"))
+def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
+                       strong_smoothing: bool = True,
+                       sign_hiding: bool = False):
     """Encode one padded frame all-intra with CU = TU = B.
 
-    Returns dict of: modes (nby,nbx), levels (nby,nbx,B,B) + chroma,
-    recon planes.
+    qp may be a python int or traced scalar (rate control varies it per
+    frame without recompiling). Returns dict of: modes (nby,nbx), levels
+    (nby,nbx,B,B) + chroma, recon planes.
     """
     H, W = y_pad.shape
     nby, nbx = H // B, W // B
     B2 = B // 2
-    qp_c = int(tables.chroma_qp_from_luma(qp))
-    lam = lambda_fx(qp)
-    lam_c = lambda_fx(qp_c)
+    qp = jnp.asarray(qp, I32)
+    qp_c = tables.chroma_qp_from_luma(qp, xp=jnp)
+    lam_t = jnp.asarray(tables.LAMBDA_FX)
+    lam = lam_t[qp]
+    lam_c = lam_t[qp_c]
 
     planes = (y_pad.astype(I32), u_pad.astype(I32), v_pad.astype(I32))
 
@@ -151,7 +159,7 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp: int,
 
     lane = functools.partial(
         _lane_fn, B=B, nbx=nbx, W=W, qp=qp, qp_c=qp_c, lam=lam, lam_c=lam_c,
-        strong_smoothing=strong_smoothing)
+        strong_smoothing=strong_smoothing, sign_hiding=sign_hiding)
     rs = jnp.arange(nby)
 
     def body(d, st):

@@ -91,7 +91,8 @@ def subpel_refine(blk: np.ndarray, ref_pad: np.ndarray, x0: int, y0: int,
 
 def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
                    search: int = 16, me_precision: int = 2,
-                   max_merge_cand: int = 5) -> PFramePlan:
+                   max_merge_cand: int = 5,
+                   sign_hiding: bool = False) -> PFramePlan:
     """Encode one P frame, CU = TU = CTU grid, one reference."""
     size = 1 << ctu_log2
     h, w = y.shape
@@ -120,6 +121,9 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
         resid = orig.astype(np.int32) - pred
         coeff = golden.forward_transform(resid)
         lev = golden.quantize(coeff, qpq, lg2, is_intra=False)
+        if sign_hiding:
+            from .intra_golden import _apply_sbh
+            lev = _apply_sbh(lev, coeff, qpq, lg2, False)
         if np.any(lev):
             r = golden.inverse_transform(golden.dequantize(lev, qpq, lg2))
         else:

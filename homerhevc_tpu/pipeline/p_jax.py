@@ -41,29 +41,29 @@ def _bits_tab(max_abs: int) -> np.ndarray:
                     dtype=np.int32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("B", "qp", "search", "me_precision",
-                                    "deblock"))
-def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
-                   qp: int, search: int, me_precision: int,
-                   deblock: bool = False):
+def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
+             search: int, me_precision: int, sign_hiding: bool = False):
+    """Core frame-batched P stage over PAD-pre-padded reference planes.
+
+    Shared by the single-device jit (p_frame_device pads globally) and the
+    band-sharded shard_map path (pipeline/sharded.py builds the padding from
+    ppermute halo exchange) — both produce identical block outputs.
+    """
     H, W = y_pad.shape
     nby, nbx = H // B, W // B
     B2 = B // 2
-    qp_c = int(tables.chroma_qp_from_luma(qp))
-    lam = lambda_me_fx(qp)
+    qp = jnp.asarray(qp, I32)
+    qp_c = tables.chroma_qp_from_luma(qp, xp=jnp)
+    lam = jnp.asarray(tables.LAMBDA_ME_FX)[qp]
     log2 = B.bit_length() - 1
 
     cur = y_pad.astype(I32)
-    ry = jnp.pad(ref_y.astype(I32), PAD, mode="edge")
-    ru = jnp.pad(ref_u.astype(I32), PAD // 2, mode="edge")
-    rv = jnp.pad(ref_v.astype(I32), PAD // 2, mode="edge")
 
     # ---------------- integer full-window search ----------------
     n = 2 * search + 1
     bits1 = _bits_tab(4 * search)[np.abs(4 * np.arange(-search, search + 1))]
-    mvcost = ((lam * (bits1[:, None] + bits1[None, :])) >> 8).reshape(-1)
-    mvcost_j = jnp.asarray(mvcost, I32)
+    bits2 = jnp.asarray(bits1[:, None] + bits1[None, :], I32)
+    mvcost_j = ((lam * bits2) >> 8).reshape(-1)
 
     # Scan over dy; all dx evaluated as one batched tensor per step. First-
     # minimum raster semantics: argmin over dx picks the smallest dx, the
@@ -220,6 +220,8 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
             resid = orig - pred
             coeff = tx_ops.forward_transform(resid)
             lev = quant_ops.quantize(coeff, qpq, lg2, is_intra=False)
+            if sign_hiding:
+                lev = quant_ops.sign_bit_hiding(lev, coeff, qpq, lg2)
             rr = tx_ops.inverse_transform(quant_ops.dequantize(lev, qpq, lg2))
             any_nz = jnp.any(lev != 0)
             rr = jnp.where(any_nz, rr, 0)
@@ -242,7 +244,7 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
     lev_y = outs["lev_y"].reshape(nby, nbx, B, B)
     rec = (to_plane(outs["rec_y"], B), to_plane(outs["rec_u"], B2),
            to_plane(outs["rec_v"], B2))
-    result = dict(
+    return dict(
         mvs=mvs,
         lev_y=lev_y.astype(jnp.int16),
         lev_u=outs["lev_u"].reshape(nby, nbx, B2, B2).astype(jnp.int16),
@@ -251,6 +253,25 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
         recon_u=rec[1].astype(jnp.uint8),
         recon_v=rec[2].astype(jnp.uint8),
     )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "search", "me_precision", "deblock",
+                                    "sign_hiding"))
+def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
+                   qp, search: int, me_precision: int,
+                   deblock: bool = False, sign_hiding: bool = False):
+    H, W = y_pad.shape
+    ry = jnp.pad(ref_y.astype(I32), PAD, mode="edge")
+    ru = jnp.pad(ref_u.astype(I32), PAD // 2, mode="edge")
+    rv = jnp.pad(ref_v.astype(I32), PAD // 2, mode="edge")
+    result = _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, B=B, qp=qp,
+                      search=search, me_precision=me_precision,
+                      sign_hiding=sign_hiding)
+    mvs = result["mvs"]
+    lev_y = result["lev_y"]
+    rec = (result["recon_y"].astype(I32), result["recon_u"].astype(I32),
+           result["recon_v"].astype(I32))
     if deblock:
         # On-device loop filter: the deblocked planes are the reference for
         # the next frame AND the decoder-side output — they never need to
@@ -268,19 +289,19 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
     return result
 
 
-@functools.partial(jax.jit, static_argnames=("B", "qp"))
-def deblock_intra_device(rec_y, rec_u, rec_v, *, B: int, qp: int):
+@functools.partial(jax.jit, static_argnames=("B",))
+def deblock_intra_device(rec_y, rec_u, rec_v, *, B: int, qp):
     """On-device deblocking of an all-intra frame (uniform TU grid, bS=2)."""
     from ..ops import deblock as dbk
     H, W = rec_y.shape
     bs_v, bs_h = dbk.intra_edge_maps(H, W, min(B, 32))
-    qp_map = np.full((H // 4, W // 4), qp, np.int32)
+    qp_map = jnp.full((H // 4, W // 4), jnp.asarray(qp, jnp.int32))
     fy, fu, fv = dbk.deblock_frame(rec_y.astype(jnp.int32),
                                    rec_u.astype(jnp.int32),
                                    rec_v.astype(jnp.int32),
                                    bs_v=jnp.asarray(bs_v),
                                    bs_h=jnp.asarray(bs_h),
-                                   qp_map=jnp.asarray(qp_map), xp=jnp)
+                                   qp_map=qp_map, xp=jnp)
     return fy.astype(jnp.uint8), fu.astype(jnp.uint8), fv.astype(jnp.uint8)
 
 

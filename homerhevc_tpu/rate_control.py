@@ -1,0 +1,93 @@
+"""Rate control: VBV buffer model with per-frame QP adaptation.
+
+Role of the reference's hmr_rate_control.c
+(/root/reference/src/homer_lib/hmr_rate_control.c:30 init, :89 init_pic,
+:152 end_pic, :266 per-CTU QP): a VBV-fullness model with I-frame cost
+amortization, re-shaped to per-frame QP decisions — the TPU pipeline is
+frame-batched, so QP is a host-side scalar fed to the device step (per-CTU
+dQP would force dynamic shapes; per-frame matches the pipeline's grain).
+
+All state is tiny scalar math on the host, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .config import BitrateMode, EncoderConfig
+
+
+class RateControl:
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.mode = cfg.bitrate_mode
+        self.fps = cfg.frame_rate
+        self.avg = cfg.bitrate * 1000.0 / cfg.frame_rate   # bits/frame
+        self.vbv_size = cfg.vbv_size * 1000.0              # bits
+        self.fullness = cfg.vbv_init * 1000.0
+        self.qp = float(cfg.qp)
+        self.intra_period = max(cfg.intra_period, 1)
+        # I-frame cost amortization (acc_rate/acc_avg, hmr_rate_control.c:152)
+        self._i_excess = 0.0
+        self._target_last = self.avg
+        self._is_idr_last = False
+
+    # ---------------------------------------------------------- per frame
+    def frame_target(self, is_idr: bool) -> float:
+        """Target bits for the next frame (hmr_rc_init_pic :89-140)."""
+        if is_idr:
+            t = 2.25 * self.avg * math.sqrt(self.intra_period)
+            # never ask for more than the buffer can deliver
+            t = min(t, self.fullness + self.avg * 0.9)
+            return max(t, self.avg)
+        # P frames repay the I-frame excess over the GOP
+        repay = self._i_excess / max(self.intra_period - 1, 1)
+        t = self.avg - repay
+        return max(t, self.avg * 0.1)
+
+    def frame_qp(self, is_idr: bool) -> int:
+        target = self.frame_target(is_idr)
+        self._target_last = target
+        self._is_idr_last = is_idr
+        qp = self.qp
+        # VBV guardrails: low fullness -> raise QP, high fullness -> lower.
+        frac = self.fullness / self.vbv_size if self.vbv_size else 0.5
+        if self.mode == BitrateMode.CBR:
+            if frac < 0.15:
+                qp += 3
+            elif frac < 0.3:
+                qp += 1
+            elif frac > 0.85:
+                qp -= 2
+            elif frac > 0.7:
+                qp -= 1
+        else:  # VBR: softer correction
+            if frac < 0.1:
+                qp += 2
+            elif frac > 0.9:
+                qp -= 1
+        if is_idr:
+            qp -= 2      # I frames coded finer (reference I/P QP compensation)
+        return int(round(max(0, min(51, qp))))
+
+    def end_frame(self, bits_used: int, is_idr: bool) -> None:
+        """VBV update + QP adaptation (hmr_rc_end_pic :152-263)."""
+        target = self._target_last
+        # adapt the base QP from the log bit-rate error (3 QP ~= 2x bits)
+        err = math.log2(max(bits_used, 1) / max(target, 1))
+        gain = 1.5 if self.mode == BitrateMode.CBR else 1.0
+        step = max(-3.0, min(3.0, gain * err))
+        # I frames are intentionally over target; adapt on P frames only.
+        if not is_idr:
+            self.qp = max(0.0, min(51.0, self.qp + step))
+        else:
+            self._i_excess = max(0.0, bits_used - self.avg)
+        self.fullness += self.avg - bits_used
+        # clamp to the buffer (overflow/underflow handling :246-261)
+        self.fullness = max(0.0, min(self.vbv_size, self.fullness))
+
+    # ------------------------------------------------------- scene change
+    def on_scene_change(self) -> None:
+        """hmr_rc_change_pic_mode (:49-87): re-target mid-GOP after a scene
+        change turned a P into an effectively-intra frame."""
+        self._i_excess = max(self._i_excess, self.avg)

@@ -182,13 +182,31 @@ INV_ANGLE[11:26] = [-4096, -1638, -910, -630, -482, -390, -315, -256, -315,
 # Chroma QP mapping (spec Table 8-10, 4:2:0)
 # ---------------------------------------------------------------------------
 
-def chroma_qp_from_luma(qp_i: np.ndarray | int) -> np.ndarray | int:
-    table = np.array([29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37],
-                     dtype=np.int32)
-    qp_i = np.asarray(qp_i)
-    out = np.where(qp_i < 30, qp_i,
-                   np.where(qp_i > 43, qp_i - 6, table[np.clip(qp_i, 30, 43) - 30]))
-    return out if out.ndim else int(out)
+CHROMA_QP_TABLE = np.array([29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36,
+                            37, 37], dtype=np.int32)
+
+
+def chroma_qp_from_luma(qp_i, xp=np):
+    """Works on python ints, numpy and traced jnp scalars/arrays."""
+    if xp is np:
+        qp_i = np.asarray(qp_i)
+    out = xp.where(qp_i < 30, qp_i,
+                   xp.where(qp_i > 43, qp_i - 6,
+                            xp.asarray(CHROMA_QP_TABLE)[
+                                xp.clip(qp_i, 30, 43) - 30]))
+    if xp is np and out.ndim == 0:
+        return int(out)
+    return out
+
+
+# RD lambda (HM formula 0.57 * 2^((qp-12)/3)) in x256 fixed point, and its
+# sqrt (SAD-domain ME lambda) — indexed by QP so traced-QP device code can
+# gather instead of recompiling per QP.
+LAMBDA_FX = np.array([int(round(0.57 * 2.0 ** ((q - 12) / 3.0) * 256))
+                      for q in range(52)], dtype=np.int32)
+LAMBDA_ME_FX = np.array(
+    [int(round((0.57 * 2.0 ** ((q - 12) / 3.0)) ** 0.5 * 256))
+     for q in range(52)], dtype=np.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -1,8 +1,13 @@
 """Test config: run JAX on CPU with 8 virtual devices so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md §4 testing strategy)."""
+paths are exercised without TPU hardware (SURVEY.md §4 testing strategy).
+
+NOTE: the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME is the
+override that actually forces the CPU backend in this image.
+"""
 
 import os
 
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
