@@ -48,6 +48,10 @@ def parse_args(argv):
     ap.add_argument("-n_frames", type=int, default=1000)
     ap.add_argument("-skipped_frames", type=int, default=0)
     ap.add_argument("-backend", default="jax", choices=("jax", "golden"))
+    ap.add_argument("-metrics", action="store_true",
+                    help="print per-frame PSNR (role of COMPUTE_METRICS)")
+    ap.add_argument("-profiling", action="store_true",
+                    help="print stage timing breakdown (role of _TIME_PROFILING_)")
     return ap.parse_args(argv)
 
 
@@ -89,7 +93,9 @@ def main(argv=None):
         me_search_range=args.search_range,
         wpp=args.n_wpp_threads > 0)
 
-    enc = HomerEncoder(cfg, backend=args.backend)
+    from homerhevc_tpu.utils.profiler import Profiler
+    prof = Profiler(enabled=args.profiling)
+    enc = HomerEncoder(cfg, backend=args.backend, profiler=prof)
     out_f = open(args.output, "wb") if args.output else None
     raw_f = open(args.output_raw, "wb") if args.output_raw else None
 
@@ -103,8 +109,15 @@ def main(argv=None):
         if raw_f:
             for p in enc.last_recon:
                 raw_f.write(np.ascontiguousarray(p).tobytes())
-        print(f"POC:{n}, {'I' if (n == 0 or (cfg.intra_period and (n - enc.last_idr) == 0)) else 'P'}, "
-              f"bits:{len(au) * 8}, qp: {enc.last_qp}", flush=True)
+        psnr_txt = ""
+        if args.metrics:
+            from homerhevc_tpu.utils.psnr import psnr
+            ry, ru, rv = enc.last_recon
+            psnr_txt = (f", PSNR Y:{psnr(y, ry):.2f} U:{psnr(u, ru):.2f}"
+                        f" V:{psnr(v, rv):.2f}")
+        ptype = 'I' if n == enc.last_idr else 'P'
+        print(f"POC:{n}, {ptype}, bits:{len(au) * 8}, qp: {enc.last_qp}"
+              f"{psnr_txt}", flush=True)
         n += 1
     dt = time.time() - t0
     if out_f:
@@ -113,6 +126,8 @@ def main(argv=None):
         raw_f.close()
     enc.close()
     print(f"{n} frames in {dt*1000:.0f} milliseconds: {n/dt:f} fps")
+    if args.profiling:
+        print(prof.report())
     return 0
 
 

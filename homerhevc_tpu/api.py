@@ -18,9 +18,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from .config import BitrateMode, EncoderConfig, MEPrecision
+from .config import (BitrateMode, EncoderConfig, MEPrecision,
+                     PerformanceMode)
 from .entropy import headers
 from .pipeline import assemble
+
+
+SCENE_SAD_PER_PIXEL = 25.0     # mean best-ME-cost per pixel => scene cut
 
 
 def _pad_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -33,24 +37,30 @@ def _pad_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
 class HomerEncoder:
     """Streaming HEVC encoder session (IDR + P low-delay structure)."""
 
-    def __init__(self, cfg: EncoderConfig, *, backend: str = "jax"):
+    def __init__(self, cfg: EncoderConfig, *, backend: str = "jax",
+                 profiler=None):
         if backend not in ("golden", "jax"):
             raise ValueError(f"unknown backend {backend!r}")
+        from .utils.profiler import NULL
+        self.prof = profiler if profiler is not None else NULL
         self.cfg = cfg.validate()
         self.backend = backend
         c = self.cfg
         self.ctu_log2 = c.ctu_size.bit_length() - 1
+        self.intra_split = (c.performance_mode
+                            != PerformanceMode.FASTEST_COMPUTATION)
         self.pw = c.padded_width
         self.ph = c.padded_height
         self.params = headers.StreamParams(
             width=c.width, height=c.height,
             pad_right=self.pw - c.width, pad_bottom=self.ph - c.height,
-            ctu_log2=self.ctu_log2, min_cu_log2=self.ctu_log2,
+            ctu_log2=self.ctu_log2,
+            min_cu_log2=self.ctu_log2 - (1 if self.intra_split else 0),
             max_tu_log2=min(5, self.ctu_log2),
             max_tr_depth_intra=0, max_tr_depth_inter=0,
             init_qp=c.qp, sign_hiding=c.sign_hiding,
             deblocking_disabled=not c.deblocking, num_ref_frames=1,
-            wpp_enabled=c.wpp,
+            wpp_enabled=c.wpp, sao_enabled=c.sample_adaptive_offset,
             cb_qp_offset=c.chroma_qp_offset, cr_qp_offset=c.chroma_qp_offset)
         self.poc = 0
         self.last_idr = 0
@@ -80,10 +90,13 @@ class HomerEncoder:
         qp = int(np.clip(qp, 0, 51))
         self.last_qp = qp
 
+        self._scene_idr = False
         if self.backend == "jax":
             au, recon_padded = self._encode_jax(yp, up, vp, is_idr, qp)
         else:
             au, recon_padded = self._encode_golden(yp, up, vp, is_idr, qp)
+        if self._scene_idr:
+            is_idr = True
 
         if is_idr:
             self.last_idr = self.poc
@@ -110,43 +123,72 @@ class HomerEncoder:
         size = 1 << self.ctu_log2
         deblk = c.deblocking
         if is_idr:
-            out = intra_jax.encode_frame_intra(
-                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                B=size, qp=qp, sign_hiding=c.sign_hiding)
-            maps = native_backend.maps_from_intra_grid(
-                np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
-                out["lev_v"], size)
-            au = assemble.assemble_idr_au_from_maps(
-                self.params, maps, slice_qp=qp,
-                include_parameter_sets=(self.poc == 0))
+            with self.prof.probe("intra.device"):
+                out = intra_jax.encode_frame_intra(
+                    jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                    B=size, qp=qp, sign_hiding=c.sign_hiding,
+                    split_rdo=self.intra_split)
+            with self.prof.probe("intra.fetch+maps"):
+                maps = native_backend.maps_from_intra_grid(
+                    np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
+                    out["lev_v"], size,
+                    split=(np.asarray(out["split"]) if self.intra_split
+                           else None),
+                    child_modes=(np.asarray(out["child_modes"])
+                                 if self.intra_split else None))
             if deblk:
                 self._ref = p_jax.deblock_intra_device(
                     out["recon_y"], out["recon_u"], out["recon_v"],
-                    B=size, qp=qp)
+                    B=size, qp=qp,
+                    split=(out["split"] if self.intra_split else None))
             else:
                 self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+            with self.prof.probe("sao"):
+                sao_info = self._maybe_sao(yp, up, vp, qp)
+            with self.prof.probe("entropy"):
+                au = assemble.assemble_idr_au_from_maps(
+                    self.params, maps, slice_qp=qp,
+                    include_parameter_sets=(self.poc == 0), sao_info=sao_info)
         else:
-            out = p_jax.p_frame_device(
-                jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
-                *self._ref, B=size, qp=qp,
-                search=c.me_search_range,
-                me_precision=int(c.motion_estimation_precision),
-                deblock=deblk, sign_hiding=c.sign_hiding)
-            mvs = np.asarray(out["mvs"])
-            lev_y = np.asarray(out["lev_y"])
-            lev_u = np.asarray(out["lev_u"])
-            lev_v = np.asarray(out["lev_v"])
-            has_resid = (np.any(lev_y, axis=(-1, -2))
-                         | np.any(lev_u, axis=(-1, -2))
-                         | np.any(lev_v, axis=(-1, -2)))
-            dec, _ = derive_block_decisions_fast(mvs, has_resid, size, 5)
-            maps = native_backend.maps_from_p_arrays(mvs, dec, lev_y, lev_u,
-                                                     lev_v, size)
-            au = assemble.assemble_p_au_from_maps(
-                self.params, maps, poc=self.poc - self.last_idr, slice_qp=qp)
+            with self.prof.probe("p.device"):
+                out = p_jax.p_frame_device(
+                    jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                    *self._ref, B=size, qp=qp,
+                    search=c.me_search_range,
+                    me_precision=int(c.motion_estimation_precision),
+                    deblock=deblk, sign_hiding=c.sign_hiding)
+            if c.reinit_gop_on_scene_change:
+                # >SCENE_SAD_PER_PIXEL mean ME cost => scene cut: re-encode
+                # as IDR + GOP reinit (role of the reference's intra-ratio
+                # detector, hmr_motion_inter.c:3791-3806).
+                ms = float(np.asarray(out["sad"], np.int64).mean())
+                if ms / (size * size) > SCENE_SAD_PER_PIXEL:
+                    self._scene_idr = True
+                    if self._rc:
+                        self._rc.on_scene_change()
+                    return self._encode_jax(yp, up, vp, True, qp)
+            with self.prof.probe("p.fetch"):
+                mvs = np.asarray(out["mvs"])
+                lev_y = np.asarray(out["lev_y"])
+                lev_u = np.asarray(out["lev_u"])
+                lev_v = np.asarray(out["lev_v"])
+            with self.prof.probe("p.decisions+maps"):
+                has_resid = (np.any(lev_y, axis=(-1, -2))
+                             | np.any(lev_u, axis=(-1, -2))
+                             | np.any(lev_v, axis=(-1, -2)))
+                dec, _ = derive_block_decisions_fast(mvs, has_resid, size, 5)
+                maps = native_backend.maps_from_p_arrays(mvs, dec, lev_y,
+                                                         lev_u, lev_v, size)
             key = "ref" if deblk else "recon"
             self._ref = (out[key + "_y"], out[key + "_u"], out[key + "_v"])
-        recon = tuple(np.asarray(p) for p in self._ref)
+            with self.prof.probe("sao"):
+                sao_info = self._maybe_sao(yp, up, vp, qp)
+            with self.prof.probe("entropy"):
+                au = assemble.assemble_p_au_from_maps(
+                    self.params, maps, poc=self.poc - self.last_idr,
+                    slice_qp=qp, sao_info=sao_info)
+        with self.prof.probe("ref.fetch"):
+            recon = tuple(np.asarray(p) for p in self._ref)
         return au, recon
 
     # ------------------------------------------------------------------
@@ -161,27 +203,54 @@ class HomerEncoder:
             plan = intra_golden.encode_intra_frame(
                 yp, up, vp, qp=qp, ctu_log2=self.ctu_log2,
                 sign_hiding=c.sign_hiding)
+            self._ref = gop_mod._deblock_intra(plan.recon, qp, h, w,
+                                               min(size, 32), c.deblocking)
+            sao_info = self._maybe_sao(yp, up, vp, qp)
             au = assemble.assemble_idr_au(
                 self.params, plan.ctu_plans, slice_qp=qp,
-                include_parameter_sets=(self.poc == 0))
-            ref = gop_mod._deblock_intra(plan.recon, qp, h, w, min(size, 32),
-                                         c.deblocking)
+                include_parameter_sets=(self.poc == 0), sao_info=sao_info)
         else:
             pplan = p_golden.encode_p_frame(
                 yp, up, vp, self._ref, qp=qp, ctu_log2=self.ctu_log2,
                 search=c.me_search_range,
                 me_precision=int(c.motion_estimation_precision),
                 sign_hiding=c.sign_hiding)
+            if c.reinit_gop_on_scene_change:
+                ms = float(np.asarray(pplan.sad, np.int64).mean())
+                if ms / (size * size) > SCENE_SAD_PER_PIXEL:
+                    self._scene_idr = True
+                    if self._rc:
+                        self._rc.on_scene_change()
+                    return self._encode_golden(yp, up, vp, True, qp)
+            self._ref = gop_mod._deblock_inter(pplan.recon, qp, h, w,
+                                               min(size, 32), pplan.field,
+                                               pplan.cbf_y_unit, c.deblocking)
+            sao_info = self._maybe_sao(yp, up, vp, qp)
             au = assemble.assemble_p_au(self.params, pplan.ctu_plans,
                                         poc=self.poc - self.last_idr,
-                                        slice_qp=qp)
-            ref = gop_mod._deblock_inter(pplan.recon, qp, h, w, min(size, 32),
-                                         pplan.field, pplan.cbf_y_unit,
-                                         c.deblocking)
-        self._ref = ref
-        return au, ref
+                                        slice_qp=qp, sao_info=sao_info)
+        return au, self._ref
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    def _maybe_sao(self, yp, up, vp, qp):
+        # SAO stage on the loop-filtered reference; updates self._ref to the
+        # SAO output (the decoder-side reference picture).
+        if not self.cfg.sample_adaptive_offset:
+            return None
+        import jax.numpy as jnp
+
+        from . import tables
+        from .ops.sao import sao_stage
+        qp_c = int(tables.chroma_qp_from_luma(qp))
+        size = 1 << self.ctu_log2
+        info, filt = sao_stage((yp, up, vp), self._ref, size, qp, qp_c)
+        if self.backend == "jax":
+            self._ref = tuple(jnp.asarray(p) for p in filt)
+        else:
+            self._ref = filt
+        return info
+
     def close(self) -> None:
         self._ref = None
 

@@ -198,7 +198,15 @@ struct SliceParams {
   int32_t max_tr_depth_intra, max_tr_depth_inter;
   int32_t sign_hiding, slice_type, max_merge_cand;
   int32_t wpp;  // entropy_coding_sync: per-CTU-row substreams + ctx sync
+  int32_t sao_luma, sao_chroma;
 };
+
+// Packed per-CTU SAO record (21 int8s; see native_backend.pack_sao):
+// [0] merge_left [1] merge_up
+// [2] type_l [3] eo_class_l [4] band_pos_l [5..8] off_l
+// [9] type_c [10] eo_class_c [11] band_pos_cb [12..15] off_cb
+// [16] band_pos_cr [17..20] off_cr
+constexpr int SAO_REC = 21;
 
 struct Maps {
   const int8_t *depth, *luma_mode, *chroma_mode, *tr_depth, *merge_idx,
@@ -206,6 +214,7 @@ struct Maps {
   const uint8_t *part_nxn, *pred_intra, *skip, *merge_flag;
   const int32_t* mvd;  // (uh, uw, 2)
   const int32_t *cy, *ccb, *ccr;
+  const int8_t* sao;   // (ny, nx, SAO_REC) or nullptr
 };
 
 int scan_mode_for_intra(int log2_size, int pred_mode, int c_idx) {
@@ -240,7 +249,44 @@ struct SliceEnc {
 
   inline int U(int x, int y) const { return (y / 4) * uw + (x / 4); }
 
+  int sao_nx = 0;
+
+  void sao_syntax(int rx, int ry) {
+    const int8_t* e = m.sao + (ry * sao_nx + rx) * SAO_REC;
+    bool ml = e[0], mu = e[1];
+    if (rx > 0) bac->bin(OFF_SAO_MERGE, ml);
+    if (!ml && ry > 0) bac->bin(OFF_SAO_MERGE, mu);
+    if (ml || mu) return;
+    for (int c = 0; c < 3; c++) {
+      if (c == 0 && !p.sao_luma) continue;
+      if (c > 0 && !p.sao_chroma) continue;
+      int typ = c == 0 ? e[2] : e[9];
+      int eo_cls = c == 0 ? e[3] : e[10];
+      int band = c == 0 ? e[4] : (c == 1 ? e[11] : e[16]);
+      const int8_t* off = c == 0 ? e + 5 : (c == 1 ? e + 12 : e + 17);
+      if (c != 2) {
+        bac->bin(OFF_SAO_TYPE, typ != 0);
+        if (typ) bac->bypass(typ - 1);
+      }
+      if (typ == 0) continue;
+      for (int i = 0; i < 4; i++) {
+        int a = off[i] < 0 ? -off[i] : off[i];
+        for (int k = 0; k < a; k++) bac->bypass(1);
+        if (a < 7) bac->bypass(0);
+      }
+      if (typ == 1) {
+        for (int i = 0; i < 4; i++)
+          if (off[i]) bac->bypass(off[i] < 0);
+        bac->bypass_bins(band, 5);
+      } else if (c != 2) {
+        bac->bypass_bins(eo_cls, 2);
+      }
+    }
+  }
+
   void encode_ctu(int x0, int y0, bool is_last) {
+    if (m.sao && (p.sao_luma || p.sao_chroma))
+      sao_syntax(x0 >> p.ctu_log2, y0 >> p.ctu_log2);
     coding_quadtree(x0, y0, p.ctu_log2, 0);
     int size = 1 << p.ctu_log2;
     for (int y = y0; y < y0 + size && y < p.pic_height; y += 4)
@@ -801,7 +847,8 @@ int henc_encode_slice(const SliceParams* sp, const int8_t* depth,
                       const uint8_t* merge_flag, const int8_t* merge_idx,
                       const int32_t* mvd, const int8_t* mvp_idx,
                       const int32_t* coeff_y, const int32_t* coeff_cb,
-                      const int32_t* coeff_cr, uint8_t* ctx_state,
+                      const int32_t* coeff_cr, const int8_t* sao,
+                      uint8_t* ctx_state,
                       uint8_t* ctx_mps, uint8_t* out, int out_cap,
                       int32_t* substream_sizes) {
   BitWriter bw;
@@ -811,11 +858,12 @@ int henc_encode_slice(const SliceParams* sp, const int8_t* depth,
   bac.mps = ctx_mps;
   Maps maps{depth,      luma_mode, chroma_mode, tr_depth, merge_idx, mvp_idx,
             part_nxn,   pred_intra, skip,       merge_flag,
-            mvd,        coeff_y,   coeff_cb,    coeff_cr};
+            mvd,        coeff_y,   coeff_cb,    coeff_cr,  sao};
   SliceEnc enc(*sp, maps, &bac);
   int ctu = 1 << sp->ctu_log2;
   int nx = (sp->pic_width + ctu - 1) / ctu;
   int ny = (sp->pic_height + ctu - 1) / ctu;
+  enc.sao_nx = nx;
 
   std::vector<uint8_t> init_state, init_mps, wpp_state(NUM_CTX),
       wpp_mps(NUM_CTX);

@@ -27,7 +27,27 @@ class _SliceParams(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in (
         "pic_width", "pic_height", "ctu_log2", "min_cu_log2",
         "max_tr_depth_intra", "max_tr_depth_inter", "sign_hiding",
-        "slice_type", "max_merge_cand", "wpp")]
+        "slice_type", "max_merge_cand", "wpp", "sao_luma", "sao_chroma")]
+
+
+def pack_sao(sao_info: dict, nby: int, nbx: int) -> np.ndarray:
+    """Pack per-CTU SAO params into the (nby, nbx, 21) int8 layout the C++
+    walker reads (see SAO_REC in henc_native.cc)."""
+    rec = np.zeros((nby, nbx, 21), np.int8)
+    rec[..., 0] = sao_info["merge_left"]
+    rec[..., 1] = sao_info["merge_up"]
+    lu, cb, cr = sao_info["luma"], sao_info["cb"], sao_info["cr"]
+    rec[..., 2] = lu["type"]
+    rec[..., 3] = lu["eo_class"]
+    rec[..., 4] = lu["band_pos"]
+    rec[..., 5:9] = lu["offsets"]
+    rec[..., 9] = cb["type"]
+    rec[..., 10] = cb["eo_class"]
+    rec[..., 11] = cb["band_pos"]
+    rec[..., 12:16] = cb["offsets"]
+    rec[..., 16] = cr["band_pos"]
+    rec[..., 17:21] = cr["offsets"]
+    return rec
 
 
 def _build() -> None:
@@ -122,14 +142,31 @@ def _rep_units(a: np.ndarray, un: int) -> np.ndarray:
 
 
 def maps_from_intra_grid(modes: np.ndarray, lev_y, lev_u, lev_v,
-                         B: int) -> dict:
-    """Vectorized frame maps for the fixed-grid all-intra pipeline (no
-    per-CTU Python objects — the hot path)."""
+                         B: int, split: np.ndarray | None = None,
+                         child_modes: np.ndarray | None = None) -> dict:
+    """Vectorized frame maps for the all-intra pipeline (no per-CTU Python
+    objects — the hot path). With split/child_modes (one-level CU quadtree),
+    split blocks carry depth 1 and per-quadrant modes (z-order children)."""
     un = B // 4
     uh, uw = modes.shape[0] * un, modes.shape[1] * un
-    m8 = _rep_units(modes.astype(np.int8), un)
+    if split is None:
+        m8 = _rep_units(modes.astype(np.int8), un)
+        depth8 = np.zeros((uh, uw), np.int8)
+    else:
+        split = np.asarray(split)
+        cm = np.asarray(child_modes)
+        # (nby, nbx, 2, 2) spatial quadrant modes from z-order children
+        quad = np.stack([np.stack([cm[..., 0], cm[..., 1]], -1),
+                         np.stack([cm[..., 2], cm[..., 3]], -1)], -2)
+        sel = np.where(split[..., None, None], quad,
+                       modes[..., None, None]).astype(np.int8)
+        # expand quadrants to units
+        h = un // 2
+        m8 = (np.repeat(np.repeat(sel, h, axis=2), h, axis=3)
+              .transpose(0, 2, 1, 3).reshape(uh, uw))
+        depth8 = _rep_units(split.astype(np.int8), un)
     z8 = np.zeros((uh, uw), np.int8)
-    return dict(depth=z8, luma_mode=m8, chroma_mode=m8, tr_depth=z8,
+    return dict(depth=depth8, luma_mode=m8, chroma_mode=m8, tr_depth=z8,
                 merge_idx=z8, mvp_idx=z8,
                 part_nxn=np.zeros((uh, uw), np.uint8),
                 pred_intra=np.ones((uh, uw), np.uint8),
@@ -165,7 +202,7 @@ def maps_from_p_arrays(mvs: np.ndarray, dec: dict, lev_y, lev_u, lev_v,
 
 def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
                            slice_type: int, max_merge_cand: int = 5,
-                           wpp: bool = False):
+                           wpp: bool = False, sao_info: dict | None = None):
     """Encode slice_data() from frame-level unit maps via the C++ walker.
 
     Returns bytes, or (bytes, substream_sizes) when wpp is set.
@@ -182,14 +219,21 @@ def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
     state = _u8(ctxs.state)
     mps = _u8(ctxs.mps)
 
+    sao_on = sao_info is not None
     sp = _SliceParams(pic_w, pic_h, params.ctu_log2, params.min_cu_log2,
                       params.max_tr_depth_intra, params.max_tr_depth_inter,
                       int(params.sign_hiding), slice_type, max_merge_cand,
-                      int(wpp))
+                      int(wpp),
+                      int(sao_on and sao_info.get("sao_luma", True)),
+                      int(sao_on and sao_info.get("sao_chroma", True)))
     cap = pic_w * pic_h * 4 + 4096
     out = np.zeros(cap, np.uint8)
-    ny = -(-pic_h // (1 << params.ctu_log2))
+    ctu = 1 << params.ctu_log2
+    ny = -(-pic_h // ctu)
+    nx = -(-pic_w // ctu)
     sizes = np.zeros(ny, np.int32)
+    sao_rec = (pack_sao(sao_info, ny, nx) if sao_on
+               else np.zeros((1, 1, 21), np.int8))
 
     # Keep converted arrays alive for the duration of the call.
     arrs = [_c8(maps["depth"]), _c8(maps["luma_mode"]), _c8(maps["chroma_mode"]),
@@ -197,9 +241,12 @@ def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
             _u8(maps["pred_intra"]), _u8(maps["skip"]), _u8(maps["merge_flag"]),
             _c8(maps["merge_idx"]), _i32(maps["mvd"]), _c8(maps["mvp_idx"]),
             _i32(maps["coeff_y"]), _i32(maps["coeff_cb"]), _i32(maps["coeff_cr"]),
+            _c8(sao_rec) if sao_on else np.zeros(1, np.int8),
             state, mps, out]
-    args = ([ctypes.byref(sp)] + [a.ctypes.data_as(ctypes.c_void_p)
-                                  for a in arrs]
+    ptrs = [a.ctypes.data_as(ctypes.c_void_p) for a in arrs]
+    if not sao_on:
+        ptrs[14] = ctypes.c_void_p(None)     # sao pointer slot
+    args = ([ctypes.byref(sp)] + ptrs
             + [ctypes.c_int(cap), sizes.ctypes.data_as(ctypes.c_void_p)])
     n = lib.henc_encode_slice(*args)
     assert n >= 0, "native slice encoder overflow"

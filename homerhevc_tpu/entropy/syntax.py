@@ -64,7 +64,12 @@ class SliceSyntaxEncoder:
                  pic_width: int, pic_height: int, ctu_log2: int,
                  min_cu_log2: int, max_tr_depth_intra: int,
                  sign_hiding: bool, slice_type: int = SLICE_I,
-                 max_tr_depth_inter: int = 0, max_merge_cand: int = 5):
+                 max_tr_depth_inter: int = 0, max_merge_cand: int = 5,
+                 sao_info: dict | None = None):
+        """sao_info (optional): dict with per-CTU-grid arrays
+        'luma'/'cb'/'cr' (each a params dict of type/eo_class/band_pos/
+        offsets), bool arrays 'merge_left'/'merge_up', and flags
+        'sao_luma'/'sao_chroma'."""
         self.enc = enc
         self.ctxs = ctxs
         self.pic_width = pic_width
@@ -84,17 +89,62 @@ class SliceSyntaxEncoder:
         self.frame_avail = np.zeros((uh, uw), dtype=bool)
         self.frame_skip = np.zeros((uh, uw), dtype=bool)
         self.max_merge_cand = max_merge_cand
+        self.sao_info = sao_info
 
     # ------------------------------------------------------------------ CTU
     def encode_ctu(self, plan: CtuPlan, *, is_last: bool) -> None:
         self._plan = plan
         size = 1 << self.ctu_log2
+        if self.sao_info is not None:
+            self._sao_syntax(plan.x0 >> self.ctu_log2,
+                             plan.y0 >> self.ctu_log2)
         self._coding_quadtree(plan.x0, plan.y0, self.ctu_log2, 0)
         # Mark this CTU's units as available for subsequent context lookups.
         ux0, uy0 = plan.x0 // 4, plan.y0 // 4
         un = size // 4
         self.frame_avail[uy0:uy0 + un, ux0:ux0 + un] = True
         self.enc.encode_terminate(1 if is_last else 0)
+
+    # ----------------------------------------------------------- sao 7.3.8.3
+    def _sao_syntax(self, rx: int, ry: int) -> None:
+        si = self.sao_info
+        enc, ctxs = self.enc, self.ctxs
+        ml = bool(si["merge_left"][ry, rx])
+        mu = bool(si["merge_up"][ry, rx])
+        if rx > 0:
+            enc.encode_bin(ctxs, OFF["SAO_MERGE"], int(ml))
+        if not ml and ry > 0:
+            enc.encode_bin(ctxs, OFF["SAO_MERGE"], int(mu))
+        if ml or mu:
+            return
+        for c_idx, comp in enumerate(("luma", "cb", "cr")):
+            if c_idx == 0 and not si["sao_luma"]:
+                continue
+            if c_idx > 0 and not si["sao_chroma"]:
+                continue
+            par = si[comp]
+            typ = int(par["type"][ry, rx])
+            if c_idx in (0, 1):
+                # sao_type_idx: TR cMax 2, bin0 ctx + bin1 bypass.
+                enc.encode_bin(ctxs, OFF["SAO_TYPE"], int(typ != 0))
+                if typ:
+                    enc.encode_bypass(typ - 1)
+            if typ == 0:
+                continue
+            offs = [int(v) for v in par["offsets"][ry, rx]]
+            for v in offs:
+                a = abs(v)
+                for _ in range(a):
+                    enc.encode_bypass(1)
+                if a < 7:
+                    enc.encode_bypass(0)
+            if typ == 1:                         # band offset
+                for v in offs:
+                    if v:
+                        enc.encode_bypass(int(v < 0))
+                enc.encode_bypass_bins(int(par["band_pos"][ry, rx]), 5)
+            elif c_idx in (0, 1):                # edge class, shared cb/cr
+                enc.encode_bypass_bins(int(par["eo_class"][ry, rx]), 2)
 
     # ---------------------------------------------------------- quadtree
     def _unit(self, x: int, y: int) -> tuple[int, int]:

@@ -219,6 +219,40 @@ def intra_edge_maps(H: int, W: int, tu_size: int):
     return bs_v, bs_h
 
 
+def intra_bs_from_split(split_blocks, B: int, xp=np):
+    """bs maps for an all-intra frame with a one-level CU quadtree: every
+    CTU boundary has bS=2; split CTUs add their internal half-size TU edges
+    (spec 8.7.2.4: intra => bS 2 on TU edges, 8-pel grid only).
+
+    split_blocks: (nby, nbx) bool. xp-generic so the device reference loop
+    can run it inside jit."""
+    nby, nbx = split_blocks.shape
+    rv = B // 4
+    rh = B // 8
+    s2 = 2 * split_blocks.astype(xp.int32)
+    bs_v = xp.zeros((nby * rv, nbx * rh), xp.int32)
+    ctu_cols = (np.arange(1, nbx) * rh).astype(np.int32)
+    mid_cols = (np.arange(nbx) * rh + rh // 2).astype(np.int32)
+    mid_v = xp.repeat(s2, rv, axis=0)                 # (H/4, nbx)
+    if xp is np:
+        bs_v[:, ctu_cols] = 2
+        bs_v[:, mid_cols] = mid_v
+    else:
+        bs_v = bs_v.at[:, ctu_cols].set(2)
+        bs_v = bs_v.at[:, mid_cols].set(mid_v)
+    bs_h = xp.zeros((nby * rh, nbx * rv), xp.int32)
+    ctu_rows = (np.arange(1, nby) * rh).astype(np.int32)
+    mid_rows = (np.arange(nby) * rh + rh // 2).astype(np.int32)
+    mid_h = xp.repeat(s2, rv, axis=1)                 # (nby, W/4)
+    if xp is np:
+        bs_h[ctu_rows, :] = 2
+        bs_h[mid_rows, :] = mid_h
+    else:
+        bs_h = bs_h.at[ctu_rows, :].set(2)
+        bs_h = bs_h.at[mid_rows, :].set(mid_h)
+    return bs_v, bs_h
+
+
 def inter_bs_from_blocks(mvs, cbf_blk, B: int, xp=np):
     """bs maps for an all-inter CU=PU=TU=B grid, from per-block MVs + luma
     cbf (spec 8.7.2.4 reduced: no intra, edges only at B-grid).

@@ -1,0 +1,294 @@
+"""Sample Adaptive Offset (spec 7.3.8.3 syntax, 8.7.3 application).
+
+Role of the reference's hmr_sao.c (/root/reference/src/homer_lib/hmr_sao.c:
+75-349 stats, 439-619 offset derivation, 960-1210 application,
+1295 block-param decision), re-designed as whole-frame tensor passes:
+edge-index maps and band indices are computed for the full picture at once,
+per-CTU statistics fall out of reshape-reductions, and the offset/type
+search is a small vectorized RD sweep over all CTUs simultaneously.
+
+Parameters per CTU (struct-of-arrays over the (nby, nbx) CTU grid):
+  type_*:   0 = off, 1 = band (BO), 2 = edge (EO)
+  eo_class: 0 hor, 1 ver, 2 135deg, 3 45deg       (luma / shared chroma)
+  band_pos: first of 4 consecutive bands           (per component)
+  offsets:  4 signed applied offsets               (per component)
+  merge_left / merge_up: params copied from neighbor CTU (encoder sets
+  these only when the params are identical, which keeps application simple)
+
+Encoder-side estimation is numpy (host); application is xp-generic so the
+decoder-identical SAO filter can run on device for the reference loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# EO neighbor offsets per class (hPos/vPos, spec Table 8-16).
+EO_NEIGHBORS = {
+    0: ((0, -1), (0, 1)),        # horizontal
+    1: ((-1, 0), (1, 0)),        # vertical
+    2: ((-1, -1), (1, 1)),       # 135 degrees
+    3: ((-1, 1), (1, -1)),       # 45 degrees
+}
+
+MAX_OFFSET = 7                   # (1 << (Min(bitDepth,10)-5)) - 1 for 8-bit
+
+
+def edge_idx_map(rec, eo_class: int, xp=np):
+    """edgeIdx in 0..4 per pixel (2 = no category); border pixels whose
+    neighbor would fall outside the picture get 2 (unmodified)."""
+    H, W = rec.shape
+    r = rec.astype(xp.int32)
+    (dy0, dx0), (dy1, dx1) = EO_NEIGHBORS[eo_class]
+
+    def shifted(dy, dx):
+        return xp.roll(xp.roll(r, -dy, axis=0), -dx, axis=1)
+
+    idx = (2 + xp.sign(r - shifted(dy0, dx0))
+           + xp.sign(r - shifted(dy1, dx1))).astype(xp.int32)
+    # invalidate borders touched by either neighbor
+    ys, xs = xp.arange(H), xp.arange(W)
+    valid = xp.ones((H, W), bool)
+    for dy, dx in ((dy0, dx0), (dy1, dx1)):
+        if dy:
+            valid = valid & ((ys[:, None] + dy >= 0) & (ys[:, None] + dy < H))
+        if dx:
+            valid = valid & ((xs[None, :] + dx >= 0) & (xs[None, :] + dx < W))
+    return xp.where(valid, idx, 2)
+
+
+def _ctu_reduce(arr, ctu: int):
+    """Sum (H, W) int array per (ctu x ctu) tile -> (nby, nbx)."""
+    H, W = arr.shape
+    return arr.reshape(H // ctu, ctu, W // ctu, ctu).sum(axis=(1, 3))
+
+
+def eo_stats(orig, rec, ctu: int):
+    """Per-CTU (count, sum(orig-rec)) for the 4 EO classes x 4 categories.
+
+    Returns k (4, 4, nby, nbx) and s (4, 4, nby, nbx); categories are
+    edgeIdx 0, 1, 3, 4 (index 2 carries no offset).
+    """
+    diff = orig.astype(np.int64) - rec.astype(np.int64)
+    ks, ss = [], []
+    for cls in range(4):
+        idx = edge_idx_map(rec, cls)
+        k_c, s_c = [], []
+        for cat, ei in enumerate((0, 1, 3, 4)):
+            m = idx == ei
+            k_c.append(_ctu_reduce(m.astype(np.int64), ctu))
+            s_c.append(_ctu_reduce(np.where(m, diff, 0), ctu))
+        ks.append(np.stack(k_c))
+        ss.append(np.stack(s_c))
+    return np.stack(ks), np.stack(ss)
+
+
+def bo_stats(orig, rec, ctu: int):
+    """Per-CTU (count, sum) per 32 bands: (32, nby, nbx) each."""
+    diff = orig.astype(np.int64) - rec.astype(np.int64)
+    band = (rec.astype(np.int32) >> 3)
+    ks, ss = [], []
+    for b in range(32):
+        m = band == b
+        ks.append(_ctu_reduce(m.astype(np.int64), ctu))
+        ss.append(_ctu_reduce(np.where(m, diff, 0), ctu))
+    return np.stack(ks), np.stack(ss)
+
+
+def _best_offset(k, s, lam_fx, sign_constraint=0):
+    """Vectorized best offset per (.., nby, nbx) stat cell.
+
+    Minimises D(h) = k h^2 - 2 h s plus lam * bits(|h|); sign_constraint:
+    +1 -> h >= 0, -1 -> h <= 0, 0 -> free. Returns (h, cost_delta)."""
+    hs = np.arange(-MAX_OFFSET, MAX_OFFSET + 1)
+    if sign_constraint > 0:
+        hs = hs[hs >= 0]
+    elif sign_constraint < 0:
+        hs = hs[hs <= 0]
+    # shape (H..., len(hs))
+    k_ = k[..., None].astype(np.int64)
+    s_ = s[..., None].astype(np.int64)
+    bits = (np.abs(hs) + 1)
+    cost = k_ * hs * hs - 2 * hs * s_ + ((lam_fx * bits) >> 8)
+    j = np.argmin(cost, axis=-1)
+    h = hs[j]
+    c = np.take_along_axis(cost, j[..., None], axis=-1)[..., 0]
+    return h.astype(np.int32), c
+
+
+def _component_costs(orig, rec, ctu: int, lam_fx: int):
+    """Per-CTU costs/offsets for one component: EO per class, BO, off."""
+    H, W = orig.shape
+    nby, nbx = H // ctu, W // ctu
+
+    ke, se = eo_stats(orig, rec, ctu)                  # (4cls, 4cat, nby, nbx)
+    # EO sign rules: cats 0,1 (valleys) positive; 2,3 (peaks) negative.
+    offs = np.zeros((4, 4, nby, nbx), np.int32)
+    cost_eo = np.zeros((4, nby, nbx), np.int64)
+    for cat in range(4):
+        sign = 1 if cat < 2 else -1
+        h, c = _best_offset(ke[:, cat], se[:, cat], lam_fx, sign)
+        offs[:, cat] = h
+        cost_eo += c
+
+    kb, sb = bo_stats(orig, rec, ctu)                  # (32, nby, nbx)
+    hb, cb = _best_offset(kb, sb, lam_fx, 0)           # per band
+    win_costs = np.stack([cb[p:p + 4].sum(axis=0) for p in range(29)])
+    band_pos = np.argmin(win_costs, axis=0)            # (nby, nbx)
+    bo_cost = np.min(win_costs, axis=0)
+    bo_off = np.stack([np.take_along_axis(hb, (band_pos + i)[None], 0)[0]
+                       for i in range(4)])             # (4, nby, nbx)
+    return dict(cost_eo=cost_eo, eo_offs=offs, band_pos=band_pos,
+                bo_cost=bo_cost, bo_off=bo_off,
+                zero=np.zeros((nby, nbx), np.int64))
+
+
+def _pack(typ, cls, band_pos, bo_off, eo_offs):
+    eo_off = np.take_along_axis(eo_offs, cls[None, None], axis=0)[0]
+    offsets = np.where(typ[None] == 1, bo_off,
+                       np.where(typ[None] == 2, eo_off, 0))
+    return dict(type=typ.astype(np.int8), eo_class=cls.astype(np.int8),
+                band_pos=band_pos.astype(np.int8),
+                offsets=offsets.transpose(1, 2, 0).astype(np.int8))
+
+
+def derive_params(orig, rec, ctu: int, qp: int, *, lam_scale: int = 256):
+    """Per-CTU SAO params for the luma component. Any choice yields a
+    conformant stream — the RD sweep only affects quality."""
+    from .. import tables
+    lam_fx = int(tables.LAMBDA_FX[min(qp, 51)]) * lam_scale // 256
+    cc = _component_costs(orig, rec, ctu, lam_fx)
+    cost_eo = cc["cost_eo"] + ((lam_fx * 6) >> 8)
+    cls = np.argmin(cost_eo, axis=0)
+    eo_cost = np.take_along_axis(cost_eo, cls[None], axis=0)[0]
+    bo_cost = cc["bo_cost"] + ((lam_fx * 10) >> 8)
+    off_cost = cc["zero"] + ((lam_fx * 1) >> 8)
+    typ = np.argmin(np.stack([off_cost, bo_cost, eo_cost]), axis=0)
+    return _pack(typ, cls, cc["band_pos"], cc["bo_off"], cc["eo_offs"])
+
+
+def derive_params_chroma(orig_cb, rec_cb, orig_cr, rec_cr, ctu: int, qp: int,
+                         *, lam_scale: int = 256):
+    """Joint chroma derivation: sao_type_idx_chroma and the EO class are
+    shared between Cb and Cr (spec 7.3.8.3); band positions and offsets
+    stay per-component. Returns (params_cb, params_cr)."""
+    from .. import tables
+    lam_fx = int(tables.LAMBDA_FX[min(qp, 51)]) * lam_scale // 256
+    cb = _component_costs(orig_cb, rec_cb, ctu, lam_fx)
+    cr = _component_costs(orig_cr, rec_cr, ctu, lam_fx)
+    cost_eo = cb["cost_eo"] + cr["cost_eo"] + ((lam_fx * 6) >> 8)
+    cls = np.argmin(cost_eo, axis=0)
+    eo_cost = np.take_along_axis(cost_eo, cls[None], axis=0)[0]
+    bo_cost = cb["bo_cost"] + cr["bo_cost"] + ((lam_fx * 16) >> 8)
+    off_cost = cb["zero"] + ((lam_fx * 1) >> 8)
+    typ = np.argmin(np.stack([off_cost, bo_cost, eo_cost]), axis=0)
+    return (_pack(typ, cls, cb["band_pos"], cb["bo_off"], cb["eo_offs"]),
+            _pack(typ, cls, cr["band_pos"], cr["bo_off"], cr["eo_offs"]))
+
+
+def derive_merge_flags(luma, chroma_cb, chroma_cr):
+    """Set merge_left/up where ALL components' params match the neighbor
+    (encoder-side convenience; decoder copies on merge)."""
+    t = luma["type"]
+    nby, nbx = t.shape
+
+    def same(a, b):
+        return np.all(a == b, axis=-1) if a.ndim == 3 else (a == b)
+
+    def params_equal(shift):
+        eq = np.ones((nby, nbx), bool)
+        for comp in (luma, chroma_cb, chroma_cr):
+            for key in ("type", "eo_class", "band_pos", "offsets"):
+                a = comp[key]
+                if shift == "left":
+                    pa, pb = a[:, 1:], a[:, :-1]
+                    e = same(pa, pb)
+                    full = np.zeros((nby, nbx), bool)
+                    full[:, 1:] = e
+                else:
+                    pa, pb = a[1:, :], a[:-1, :]
+                    e = same(pa, pb)
+                    full = np.zeros((nby, nbx), bool)
+                    full[1:, :] = e
+                eq &= full
+        return eq
+
+    merge_left = params_equal("left")
+    merge_up = params_equal("up") & ~merge_left
+    return merge_left, merge_up
+
+
+def apply_sao(rec, params, ctu: int, xp=np):
+    """Decoder-exact SAO application for one component plane (8.7.3)."""
+    H, W = rec.shape
+    nby, nbx = H // ctu, W // ctu
+    r = rec.astype(xp.int32)
+    typ = xp.asarray(params["type"])
+    eo_cls = xp.asarray(params["eo_class"])
+    band_pos = xp.asarray(params["band_pos"])
+    offsets = xp.asarray(params["offsets"])            # (nby, nbx, 4)
+
+    def up(a):
+        return xp.repeat(xp.repeat(a, ctu, axis=0), ctu, axis=1)
+
+    typ_px = up(typ)
+    cls_px = up(eo_cls)
+    pos_px = up(band_pos.astype(xp.int32))
+    off_px = [up(offsets[..., i].astype(xp.int32)) for i in range(4)]
+
+    # --- BO ---
+    band = r >> 3
+    rel = band - pos_px
+    bo_off = xp.zeros_like(r)
+    for i in range(4):
+        bo_off = xp.where(rel == i, off_px[i], bo_off)
+    bo_out = xp.clip(r + bo_off, 0, 255)
+
+    # --- EO: compute result for each class, select by per-pixel class ---
+    eo_out = r
+    for cls in range(4):
+        idx = edge_idx_map(r, cls, xp=xp)
+        o = xp.zeros_like(r)
+        for cat, ei in enumerate((0, 1, 3, 4)):
+            o = xp.where(idx == ei, off_px[cat], o)
+        cand = xp.clip(r + o, 0, 255)
+        eo_out = xp.where(cls_px == cls, cand, eo_out)
+
+    out = xp.where(typ_px == 1, bo_out, xp.where(typ_px == 2, eo_out, r))
+    return out
+
+
+def sao_stage(orig_planes, dbk_planes, ctu: int, qp: int, qp_c: int):
+    """Full encoder-side SAO stage: derive params for Y/Cb/Cr, set
+    equality-based merge flags, apply. Returns (sao_info, filtered planes).
+
+    Role of hmr_wpp_sao_ctu (hmr_sao.c:1415) + sao_decide_blk_params
+    (:1295), as whole-frame host numpy (device port: apply_sao is
+    xp-generic)."""
+    oy, ou, ov = orig_planes
+    dy, du, dv = (np.asarray(p) for p in dbk_planes)
+    luma = derive_params(np.asarray(oy), dy, ctu, qp)
+    cbp, crp = derive_params_chroma(np.asarray(ou), du, np.asarray(ov), dv,
+                                    ctu // 2, qp_c)
+    ml, mu = derive_merge_flags(luma, cbp, crp)
+    fy = apply_sao(dy, luma, ctu).astype(np.uint8)
+    fu = apply_sao(du, cbp, ctu // 2).astype(np.uint8)
+    fv = apply_sao(dv, crp, ctu // 2).astype(np.uint8)
+    info = dict(luma=luma, cb=cbp, cr=crp, merge_left=ml, merge_up=mu,
+                sao_luma=True, sao_chroma=True)
+    return info, (fy, fu, fv)
+
+
+def resolve_merges(params, merge_left, merge_up):
+    """Propagate merged params so application sees final values per CTU."""
+    out = {k: v.copy() for k, v in params.items()}
+    nby, nbx = merge_left.shape
+    for r in range(nby):
+        for c in range(nbx):
+            if merge_left[r, c]:
+                for k in out:
+                    out[k][r, c] = out[k][r, c - 1]
+            elif merge_up[r, c]:
+                for k in out:
+                    out[k][r, c] = out[k][r - 1, c]
+    return out

@@ -19,7 +19,8 @@ def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
                       pic_width: int | None = None,
                       pic_height: int | None = None,
                       max_merge_cand: int = 5,
-                      native: bool | None = None) -> bytes:
+                      native: bool | None = None,
+                      sao_info: dict | None = None) -> bytes:
     """CABAC-encode all CTUs of one slice into slice-data bytes.
 
     native=None (default): use the C++ backend when available (byte-identical
@@ -33,16 +34,20 @@ def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
                 params.height + params.pad_bottom, 1 << params.ctu_log2)
             return native_backend.encode_slice_from_maps(
                 params, maps, slice_qp=slice_qp, slice_type=slice_type,
-                max_merge_cand=max_merge_cand, wpp=True)
+                max_merge_cand=max_merge_cand, wpp=True, sao_info=sao_info)
         return encode_slice_data_wpp(params, plans, slice_qp=slice_qp,
                                      slice_type=slice_type,
-                                     max_merge_cand=max_merge_cand)
+                                     max_merge_cand=max_merge_cand,
+                                     sao_info=sao_info)
     if native is None or native:
         from ..entropy import native_backend
         if native_backend.available():
-            return native_backend.encode_slice_data_native(
-                params, plans, slice_qp=slice_qp, slice_type=slice_type,
-                max_merge_cand=max_merge_cand)
+            maps = native_backend.frame_maps_from_plans(
+                plans, params.width + params.pad_right,
+                params.height + params.pad_bottom, 1 << params.ctu_log2)
+            return native_backend.encode_slice_from_maps(
+                params, maps, slice_qp=slice_qp, slice_type=slice_type,
+                max_merge_cand=max_merge_cand, sao_info=sao_info)
         if native:
             raise RuntimeError("native entropy backend unavailable")
     bw = bs.BitWriter()
@@ -59,7 +64,7 @@ def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
         max_tr_depth_inter=params.max_tr_depth_inter,
         sign_hiding=params.sign_hiding,
         slice_type=slice_type,
-        max_merge_cand=max_merge_cand)
+        max_merge_cand=max_merge_cand, sao_info=sao_info)
     for i, plan in enumerate(plans):
         syn.encode_ctu(plan, is_last=(i == len(plans) - 1))
     bw.align_zero()   # after terminate(1) flush the stream is aligned... pad
@@ -69,7 +74,8 @@ def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
 def encode_slice_data_wpp(params: headers.StreamParams, plans, *,
                           slice_qp: int,
                           slice_type: int = headers.SLICE_I,
-                          max_merge_cand: int = 5):
+                          max_merge_cand: int = 5,
+                          sao_info: dict | None = None):
     """Python-oracle WPP slice data: per-CTU-row byte-aligned substreams
     with context sync from the above-right CTU (spec 9.3.2.2; role of
     wfpp_encode_select_bitstream / ee_copy_entropy_model,
@@ -90,7 +96,7 @@ def encode_slice_data_wpp(params: headers.StreamParams, plans, *,
         max_tr_depth_intra=params.max_tr_depth_intra,
         max_tr_depth_inter=params.max_tr_depth_inter,
         sign_hiding=params.sign_hiding, slice_type=slice_type,
-        max_merge_cand=max_merge_cand)
+        max_merge_cand=max_merge_cand, sao_info=sao_info)
     snapshot = None
     sizes = []
     prev = 0
@@ -114,7 +120,7 @@ def encode_slice_data_wpp(params: headers.StreamParams, plans, *,
 
 
 def _wpp_slice_header(params, data, sizes, *, slice_type, is_idr, is_irap,
-                      poc, slice_qp, max_merge_cand=5):
+                      poc, slice_qp, max_merge_cand=5, sao_info=None):
     bounds = [0]
     for s in sizes:
         bounds.append(bounds[-1] + s)
@@ -123,11 +129,20 @@ def _wpp_slice_header(params, data, sizes, *, slice_type, is_idr, is_irap,
     return headers.write_slice_header(
         params, slice_type=slice_type, is_idr=is_idr, is_irap=is_irap,
         poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand,
-        num_entry_points=len(offsets), entry_point_offsets=offsets)
+        num_entry_points=len(offsets), entry_point_offsets=offsets,
+        **_sao_flags(sao_info))
+
+
+def _sao_flags(sao_info):
+    if sao_info is None:
+        return {}
+    return dict(sao_luma=bool(sao_info.get("sao_luma", True)),
+                sao_chroma=bool(sao_info.get("sao_chroma", True)))
 
 
 def assemble_idr_au(params: headers.StreamParams, plans, *, slice_qp: int,
-                    include_parameter_sets: bool = True) -> bytes:
+                    include_parameter_sets: bool = True,
+                    sao_info: dict | None = None) -> bytes:
     """Build one IDR access unit (optionally VPS+SPS+PPS first)."""
     out = bytearray()
     if include_parameter_sets:
@@ -135,46 +150,52 @@ def assemble_idr_au(params: headers.StreamParams, plans, *, slice_qp: int,
         out += bs.annexb_wrap(bs.nal_unit(bs.NAL_SPS, headers.write_sps(params)), True)
         out += bs.annexb_wrap(bs.nal_unit(bs.NAL_PPS, headers.write_pps(params)), True)
     if params.wpp_enabled:
-        data, sizes = encode_slice_data(params, plans, slice_qp=slice_qp)
+        data, sizes = encode_slice_data(params, plans, slice_qp=slice_qp,
+                                        sao_info=sao_info)
         sh = _wpp_slice_header(params, data, sizes,
                                slice_type=headers.SLICE_I, is_idr=True,
-                               is_irap=True, poc=0, slice_qp=slice_qp)
+                               is_irap=True, poc=0, slice_qp=slice_qp,
+                               sao_info=sao_info)
         slice_payload = sh.get_bytes() + data
     else:
         sh = headers.write_slice_header(
             params, slice_type=headers.SLICE_I, is_idr=True, is_irap=True,
-            poc=0, slice_qp=slice_qp)
-        slice_payload = sh.get_bytes() + encode_slice_data(params, plans,
-                                                           slice_qp=slice_qp)
+            poc=0, slice_qp=slice_qp, **_sao_flags(sao_info))
+        slice_payload = sh.get_bytes() + encode_slice_data(
+            params, plans, slice_qp=slice_qp, sao_info=sao_info)
     out += bs.annexb_wrap(bs.nal_unit(bs.NAL_IDR_W_RADL, slice_payload), True)
     return bytes(out)
 
 
 def assemble_p_au(params: headers.StreamParams, plans, *, poc: int,
-                  slice_qp: int, max_merge_cand: int = 5) -> bytes:
+                  slice_qp: int, max_merge_cand: int = 5,
+                  sao_info: dict | None = None) -> bytes:
     """Build one P (TRAIL_R) access unit."""
     if params.wpp_enabled:
         data, sizes = encode_slice_data(
             params, plans, slice_qp=slice_qp, slice_type=headers.SLICE_P,
-            max_merge_cand=max_merge_cand)
+            max_merge_cand=max_merge_cand, sao_info=sao_info)
         sh = _wpp_slice_header(params, data, sizes,
                                slice_type=headers.SLICE_P, is_idr=False,
                                is_irap=False, poc=poc, slice_qp=slice_qp,
-                               max_merge_cand=max_merge_cand)
+                               max_merge_cand=max_merge_cand,
+                               sao_info=sao_info)
         payload = sh.get_bytes() + data
     else:
         sh = headers.write_slice_header(
             params, slice_type=headers.SLICE_P, is_idr=False, is_irap=False,
-            poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand)
+            poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand,
+            **_sao_flags(sao_info))
         payload = sh.get_bytes() + encode_slice_data(
             params, plans, slice_qp=slice_qp, slice_type=headers.SLICE_P,
-            max_merge_cand=max_merge_cand)
+            max_merge_cand=max_merge_cand, sao_info=sao_info)
     return bs.annexb_wrap(bs.nal_unit(bs.NAL_TRAIL_R, payload), True)
 
 
 def assemble_idr_au_from_maps(params: headers.StreamParams, maps: dict, *,
                               slice_qp: int,
-                              include_parameter_sets: bool = True) -> bytes:
+                              include_parameter_sets: bool = True,
+                              sao_info: dict | None = None) -> bytes:
     """IDR AU via the native maps fast path (no per-CTU plan objects)."""
     from ..entropy import native_backend
     out = bytearray()
@@ -185,40 +206,44 @@ def assemble_idr_au_from_maps(params: headers.StreamParams, maps: dict, *,
     if params.wpp_enabled:
         data, sizes = native_backend.encode_slice_from_maps(
             params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_I,
-            wpp=True)
+            wpp=True, sao_info=sao_info)
         sh = _wpp_slice_header(params, data, sizes,
                                slice_type=headers.SLICE_I, is_idr=True,
-                               is_irap=True, poc=0, slice_qp=slice_qp)
+                               is_irap=True, poc=0, slice_qp=slice_qp,
+                               sao_info=sao_info)
     else:
         data = native_backend.encode_slice_from_maps(
-            params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_I)
+            params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_I,
+            sao_info=sao_info)
         sh = headers.write_slice_header(
             params, slice_type=headers.SLICE_I, is_idr=True, is_irap=True,
-            poc=0, slice_qp=slice_qp)
+            poc=0, slice_qp=slice_qp, **_sao_flags(sao_info))
     out += bs.annexb_wrap(bs.nal_unit(bs.NAL_IDR_W_RADL,
                                       sh.get_bytes() + data), True)
     return bytes(out)
 
 
 def assemble_p_au_from_maps(params: headers.StreamParams, maps: dict, *,
-                            poc: int, slice_qp: int,
-                            max_merge_cand: int = 5) -> bytes:
+                            poc: int, slice_qp: int, max_merge_cand: int = 5,
+                            sao_info: dict | None = None) -> bytes:
     """P AU via the native maps fast path."""
     from ..entropy import native_backend
     if params.wpp_enabled:
         data, sizes = native_backend.encode_slice_from_maps(
             params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_P,
-            max_merge_cand=max_merge_cand, wpp=True)
+            max_merge_cand=max_merge_cand, wpp=True, sao_info=sao_info)
         sh = _wpp_slice_header(params, data, sizes,
                                slice_type=headers.SLICE_P, is_idr=False,
                                is_irap=False, poc=poc, slice_qp=slice_qp,
-                               max_merge_cand=max_merge_cand)
+                               max_merge_cand=max_merge_cand,
+                               sao_info=sao_info)
     else:
         data = native_backend.encode_slice_from_maps(
             params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_P,
-            max_merge_cand=max_merge_cand)
+            max_merge_cand=max_merge_cand, sao_info=sao_info)
         sh = headers.write_slice_header(
             params, slice_type=headers.SLICE_P, is_idr=False, is_irap=False,
-            poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand)
+            poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand,
+            **_sao_flags(sao_info))
     return bs.annexb_wrap(bs.nal_unit(bs.NAL_TRAIL_R,
                                       sh.get_bytes() + data), True)

@@ -58,7 +58,8 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                 deblocking: bool = True, search: int = 16,
                 me_precision: int = 2, max_merge_cand: int = 5,
                 intra_period: int = 0, sign_hiding: bool = False,
-                wpp: bool = False,
+                wpp: bool = False, sao: bool = False,
+                intra_split_rdo: bool = False,
                 backend: str = "golden") -> SequenceResult:
     """Encode frames as IDR + P, P, ... (intra_period 0 = first frame only).
 
@@ -80,11 +81,12 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
         h, w = y.shape
         if params is None:
             params = headers.StreamParams(
-                width=w, height=h, ctu_log2=ctu_log2, min_cu_log2=ctu_log2,
+                width=w, height=h, ctu_log2=ctu_log2,
+                min_cu_log2=ctu_log2 - (1 if intra_split_rdo else 0),
                 max_tu_log2=min(5, ctu_log2), max_tr_depth_intra=0,
                 max_tr_depth_inter=0, init_qp=qp, sign_hiding=sign_hiding,
                 deblocking_disabled=not deblocking, num_ref_frames=1,
-                wpp_enabled=wpp)
+                wpp_enabled=wpp, sao_enabled=sao)
         is_idr = poc == 0 or (intra_period > 0 and poc % intra_period == 0)
         if backend == "jax":
             import jax.numpy as jnp
@@ -97,19 +99,32 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                 last_idr = poc
                 out = intra_jax.encode_frame_intra(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
-                    B=size, qp=qp, sign_hiding=sign_hiding)
+                    B=size, qp=qp, sign_hiding=sign_hiding,
+                    split_rdo=intra_split_rdo)
                 maps = native_backend.maps_from_intra_grid(
                     np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
-                    out["lev_v"], size)
-                au = assemble.assemble_idr_au_from_maps(
-                    params, maps, slice_qp=qp,
-                    include_parameter_sets=(poc == 0))
+                    out["lev_v"], size,
+                    split=(np.asarray(out["split"]) if intra_split_rdo
+                           else None),
+                    child_modes=(np.asarray(out["child_modes"])
+                                 if intra_split_rdo else None))
                 if deblocking:
                     ref_dev = p_jax.deblock_intra_device(
                         out["recon_y"], out["recon_u"], out["recon_v"],
-                        B=size, qp=qp)
+                        B=size, qp=qp,
+                        split=(out["split"] if intra_split_rdo else None))
                 else:
                     ref_dev = (out["recon_y"], out["recon_u"], out["recon_v"])
+                sao_info = None
+                if sao:
+                    from ..ops.sao import sao_stage
+                    qp_c = int(tables.chroma_qp_from_luma(qp))
+                    sao_info, filt = sao_stage((y, u, v), ref_dev, size, qp,
+                                               qp_c)
+                    ref_dev = tuple(jnp.asarray(p) for p in filt)
+                au = assemble.assemble_idr_au_from_maps(
+                    params, maps, slice_qp=qp,
+                    include_parameter_sets=(poc == 0), sao_info=sao_info)
             else:
                 out = p_jax.p_frame_device(
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
@@ -127,33 +142,52 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                                                      max_merge_cand)
                 maps = native_backend.maps_from_p_arrays(
                     mvs, dec, lev_y, lev_u, lev_v, size)
-                au = assemble.assemble_p_au_from_maps(
-                    params, maps, poc=poc - last_idr, slice_qp=qp,
-                    max_merge_cand=max_merge_cand)
                 if deblocking:
                     ref_dev = (out["ref_y"], out["ref_u"], out["ref_v"])
                 else:
                     ref_dev = (out["recon_y"], out["recon_u"], out["recon_v"])
+                sao_info = None
+                if sao:
+                    from ..ops.sao import sao_stage
+                    qp_c = int(tables.chroma_qp_from_luma(qp))
+                    sao_info, filt = sao_stage((y, u, v), ref_dev, size, qp,
+                                               qp_c)
+                    ref_dev = tuple(jnp.asarray(p) for p in filt)
+                au = assemble.assemble_p_au_from_maps(
+                    params, maps, poc=poc - last_idr, slice_qp=qp,
+                    max_merge_cand=max_merge_cand, sao_info=sao_info)
             ref = tuple(np.asarray(p) for p in ref_dev)
         elif is_idr:
             last_idr = poc
             plan = intra_golden.encode_intra_frame(y, u, v, qp=qp,
                                                    ctu_log2=ctu_log2,
                                                    sign_hiding=sign_hiding)
-            au = assemble.assemble_idr_au(params, plan.ctu_plans, slice_qp=qp,
-                                          include_parameter_sets=(poc == 0))
             ref = _deblock_intra(plan.recon, qp, h, w, min(size, 32),
                                  deblocking)
+            sao_info = None
+            if sao:
+                from ..ops.sao import sao_stage
+                qp_c = int(tables.chroma_qp_from_luma(qp))
+                sao_info, ref = sao_stage((y, u, v), ref, size, qp, qp_c)
+            au = assemble.assemble_idr_au(params, plan.ctu_plans, slice_qp=qp,
+                                          include_parameter_sets=(poc == 0),
+                                          sao_info=sao_info)
         else:
             pplan = p_golden.encode_p_frame(
                 y, u, v, ref, qp=qp, ctu_log2=ctu_log2, search=search,
                 me_precision=me_precision, max_merge_cand=max_merge_cand,
                 sign_hiding=sign_hiding)
-            au = assemble.assemble_p_au(params, pplan.ctu_plans,
-                                        poc=poc - last_idr, slice_qp=qp,
-                                        max_merge_cand=max_merge_cand)
             ref = _deblock_inter(pplan.recon, qp, h, w, min(size, 32),
                                  pplan.field, pplan.cbf_y_unit, deblocking)
+            sao_info = None
+            if sao:
+                from ..ops.sao import sao_stage
+                qp_c = int(tables.chroma_qp_from_luma(qp))
+                sao_info, ref = sao_stage((y, u, v), ref, size, qp, qp_c)
+            au = assemble.assemble_p_au(params, pplan.ctu_plans,
+                                        poc=poc - last_idr, slice_qp=qp,
+                                        max_merge_cand=max_merge_cand,
+                                        sao_info=sao_info)
         stream += au
         per_frame.append(len(au))
         recons.append(ref)

@@ -68,8 +68,81 @@ def _encode_block_all_modes(orig, top, left, corner, has_left, has_top, *,
     return levels, recon.astype(I32), cost
 
 
+def _child_refs(trow_vec, lcol, corner_p, rec, cx, cy, n, has_left, has_top,
+                x0, W):
+    """Reference samples for a child block at CTU-local (cx, cy) of size n.
+
+    trow_vec: (W,) bottom row of the CTU row above (full width);
+    lcol: (parent,) right column of the left CTU; rec: accumulated child
+    reconstructions (parent, parent). Suffix-unavailable regions replicate
+    the last available sample via clipped gathers — identical to the spec
+    8.4.4.2.2 substitution result.
+    """
+    ar = jnp.arange(2 * n)
+    if cy == 0:
+        top = trow_vec[jnp.clip(x0 + cx + ar, 0, W - 1)]
+        h_top = has_top
+    else:
+        top = rec[cy - 1, jnp.clip(cx + ar, 0, rec.shape[1] - 1)]
+        h_top = True
+    if cx == 0:
+        left = lcol[jnp.clip(cy + ar, 0, lcol.shape[0] - 1)]
+        h_left = has_left
+    else:
+        left = rec[jnp.clip(cy + ar, 0, cy + n - 1), cx - 1]
+        h_left = True
+    if cx == 0 and cy == 0:
+        corner = corner_p
+    elif cy == 0:
+        corner = trow_vec[jnp.clip(x0 + cx - 1, 0, W - 1)]
+    elif cx == 0:
+        corner = lcol[cy - 1]
+    else:
+        corner = rec[cy - 1, cx - 1]
+    return (top.astype(I32), left.astype(I32), jnp.asarray(corner, I32),
+            h_left, h_top)
+
+
+# z-order child offsets within a split CU.
+_Z_CHILDREN = ((0, 0), (1, 0), (0, 1), (1, 1))    # (cx_half, cy_half)
+
+
+def _encode_split(orig, trow_vec, lcol, corner_p, x0, W, *, B, c_idx, qp,
+                  lam_fx, has_left, has_top, sign_hiding,
+                  child_modes=None):
+    """Closed-loop z-order encode of the 4 half-size children of one block.
+
+    child_modes: None -> each child searches all 35 modes; else (4,) fixed
+    modes (chroma derived-mode case). Returns (modes(4,), lev (B,B),
+    rec (B,B), total_cost).
+    """
+    h = B // 2
+    lev = jnp.zeros((B, B), I32)
+    rec = jnp.zeros((B, B), I32)
+    modes = []
+    total = jnp.asarray(0, jnp.int64)
+    for k, (hx, hy) in enumerate(_Z_CHILDREN):
+        cx, cy = hx * h, hy * h
+        top, left, corner, hl, ht = _child_refs(
+            trow_vec, lcol, corner_p, rec, cx, cy, h, has_left, has_top,
+            x0, W)
+        o = jax.lax.dynamic_slice(orig, (cy, cx), (h, h))
+        lv35, rc35, cost = _encode_block_all_modes(
+            o, top, left, corner, hl, ht, size=h, c_idx=c_idx, qp=qp,
+            lam_fx=lam_fx, strong_smoothing=False, sign_hiding=sign_hiding)
+        if child_modes is None:
+            m = jnp.argmin(cost).astype(I32)
+        else:
+            m = child_modes[k]
+        modes.append(m)
+        lev = jax.lax.dynamic_update_slice(lev, lv35[m], (cy, cx))
+        rec = jax.lax.dynamic_update_slice(rec, rc35[m], (cy, cx))
+        total = total + cost[m]
+    return jnp.stack(modes), lev, rec, total
+
+
 def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
-             strong_smoothing, sign_hiding=False):
+             strong_smoothing, sign_hiding=False, split_rdo=False):
     """Process block (r, c=d-2r) of the diagonal (one vmap lane)."""
     y_pad, u_pad, v_pad = planes
     bot_y, right_y, bot_u, right_u, bot_v, right_v = state
@@ -92,7 +165,7 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
         corner = trow[jnp.clip(x0 - 1, 0, w - 1)]
         return top.astype(I32), left.astype(I32), corner.astype(I32)
 
-    # ---- luma ----
+    # ---- luma, CU = B (no split) ----
     x0 = cc * B
     orig = jax.lax.dynamic_slice(y_pad, (r * B, x0), (B, B))
     top, left, corner = refs_for(bot_y, right_y, x0, B, W)
@@ -103,35 +176,70 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
     mode = jnp.argmin(cost).astype(I32)
     lev_y = levels35[mode]
     rec_y = recon35[mode]
+    cost_whole = cost[mode]
 
-    # ---- chroma (derived mode) ----
     cx0 = cc * B2
+    split = jnp.asarray(False)
+    child_modes = jnp.full((4,), mode, I32)
+    if split_rdo:
+        # ---- luma split into 4 half-size CUs (z-order, closed loop) ----
+        rm1 = jnp.maximum(r - 1, 0)
+        trow_y = bot_y[rm1]
+        lcol_y = right_y[r]
+        cmodes, lev_s, rec_s, cost_split = _encode_split(
+            orig, trow_y, lcol_y, corner, x0, W, B=B, c_idx=0, qp=qp,
+            lam_fx=lam, has_left=has_left, has_top=has_top,
+            sign_hiding=sign_hiding)
+        # split flag + 3 extra mode signalings, rough proxy
+        cost_split = cost_split + (((lam >> 4) * 14) >> 4)
+        split = cost_split < cost_whole
+        lev_y = jnp.where(split, lev_s, lev_y)
+        rec_y = jnp.where(split, rec_s, rec_y)
+        child_modes = jnp.where(split, cmodes, child_modes)
+
+    # ---- chroma (derived mode; split follows luma) ----
     def chroma(plane, bot, right, c_idx, qpc):
         o = jax.lax.dynamic_slice(plane, (r * B2, cx0), (B2, B2))
         t, l, co = refs_for(bot, right, cx0, B2, W2)
         lv35, rc35, _ = _encode_block_all_modes(
             o, t, l, co, has_left, has_top, size=B2, c_idx=c_idx, qp=qpc,
             lam_fx=lam_c, strong_smoothing=False, sign_hiding=sign_hiding)
-        return lv35[mode], rc35[mode]
+        lv, rc = lv35[mode], rc35[mode]
+        if split_rdo:
+            rm1 = jnp.maximum(r - 1, 0)
+            _, lv_s, rc_s, _ = _encode_split(
+                o, bot[rm1], right[r], co, cx0, W2, B=B2, c_idx=c_idx,
+                qp=qpc, lam_fx=lam_c, has_left=has_left, has_top=has_top,
+                sign_hiding=sign_hiding, child_modes=child_modes)
+            lv = jnp.where(split, lv_s, lv)
+            rc = jnp.where(split, rc_s, rc)
+        return lv, rc
 
     lev_u, rec_u = chroma(u_pad, bot_u, right_u, 1, qp_c)
     lev_v, rec_v = chroma(v_pad, bot_v, right_v, 2, qp_c)
 
-    return dict(valid=valid, cc=cc, mode=mode,
+    return dict(valid=valid, cc=cc, mode=mode, split=split,
+                child_modes=child_modes,
                 lev_y=lev_y, rec_y=rec_y, lev_u=lev_u, rec_u=rec_u,
                 lev_v=lev_v, rec_v=rec_v)
 
 
 @functools.partial(jax.jit, static_argnames=("B", "strong_smoothing",
-                                             "sign_hiding"))
+                                             "sign_hiding", "split_rdo"))
 def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
                        strong_smoothing: bool = True,
-                       sign_hiding: bool = False):
+                       sign_hiding: bool = False,
+                       split_rdo: bool = False):
     """Encode one padded frame all-intra with CU = TU = B.
 
     qp may be a python int or traced scalar (rate control varies it per
-    frame without recompiling). Returns dict of: modes (nby,nbx), levels
-    (nby,nbx,B,B) + chroma, recon planes.
+    frame without recompiling). split_rdo adds a one-level CU quadtree:
+    each B-block also evaluates 4 closed-loop half-size CUs (all 35 modes
+    each) and splits when cheaper — the dense-per-depth evaluation +
+    masked-select form of the reference's recursive mode decision
+    (hmr_motion_intra.c:1759-1990). Returns dict of: modes (nby,nbx),
+    split (nby,nbx), child_modes (nby,nbx,4), levels + chroma, recon
+    planes.
     """
     H, W = y_pad.shape
     nby, nbx = H // B, W // B
@@ -149,6 +257,8 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         bot_u=jnp.zeros((nby, W // 2), I32), right_u=jnp.zeros((nby, B2), I32),
         bot_v=jnp.zeros((nby, W // 2), I32), right_v=jnp.zeros((nby, B2), I32),
         modes=jnp.zeros((nby, nbx), I32),
+        split=jnp.zeros((nby, nbx), bool),
+        child_modes=jnp.zeros((nby, nbx, 4), I32),
         lev_y=jnp.zeros((nby, nbx, B, B), I32),
         lev_u=jnp.zeros((nby, nbx, B2, B2), I32),
         lev_v=jnp.zeros((nby, nbx, B2, B2), I32),
@@ -159,7 +269,8 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
 
     lane = functools.partial(
         _lane_fn, B=B, nbx=nbx, W=W, qp=qp, qp_c=qp_c, lam=lam, lam_c=lam_c,
-        strong_smoothing=strong_smoothing, sign_hiding=sign_hiding)
+        strong_smoothing=strong_smoothing, sign_hiding=sign_hiding,
+        split_rdo=split_rdo)
     rs = jnp.arange(nby)
 
     def body(d, st):
@@ -186,6 +297,11 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         st = dict(st)
         st["modes"] = st["modes"].at[rs, cc].set(
             jnp.where(v, outs["mode"], st["modes"][rs, cc]))
+        st["split"] = st["split"].at[rs, cc].set(
+            jnp.where(v, outs["split"], st["split"][rs, cc]))
+        st["child_modes"] = st["child_modes"].at[rs, cc].set(
+            jnp.where(v[:, None], outs["child_modes"],
+                      st["child_modes"][rs, cc]))
         for key in ("lev_y", "rec_y", "lev_u", "rec_u", "lev_v", "rec_v"):
             st[key] = scatter_blocks(st[key], outs[key])
         st["bot_y"] = scatter_row(st["bot_y"], outs["rec_y"][:, -1, :], x0s, B)
@@ -203,7 +319,7 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         return blocks.transpose(0, 2, 1, 3).reshape(nby * n, nbx * n)
 
     return dict(
-        modes=st["modes"],
+        modes=st["modes"], split=st["split"], child_modes=st["child_modes"],
         lev_y=st["lev_y"], lev_u=st["lev_u"], lev_v=st["lev_v"],
         recon_y=blocks_to_plane(st["rec_y"], B).astype(jnp.uint8),
         recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),

@@ -32,6 +32,7 @@ class PFramePlan:
     recon: tuple
     field: MotionField
     cbf_y_unit: np.ndarray      # (uh, uw) bool, for deblock BS
+    sad: np.ndarray = None      # (nby, nbx) best integer ME cost
 
 
 def lambda_me_fx(qp: int) -> int:
@@ -58,7 +59,7 @@ def integer_search(blk: np.ndarray, ref_pad: np.ndarray, x0: int, y0: int,
     mvcost = (lam_fx * (bits[:, None] + bits[None, :])) >> 8        # (dy, dx)
     cost = sads + mvcost
     k = int(np.argmin(cost))            # first min: smallest dy, then dx
-    return int(d[k % n]), int(d[k // n])
+    return int(d[k % n]), int(d[k // n]), int(cost.reshape(-1)[k])
 
 
 def subpel_refine(blk: np.ndarray, ref_pad: np.ndarray, x0: int, y0: int,
@@ -130,12 +131,14 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
             r = np.zeros_like(resid)
         return lev, np.clip(pred + r, 0, 255).astype(np.uint8)
 
+    sad = np.zeros((nby, nbx), np.int32)
     for r in range(nby):
         for c in range(nbx):
             y0, x0 = r * size, c * size
             blk = y[y0:y0 + size, x0:x0 + size].astype(np.int32)
-            mvi = integer_search(blk, ry, x0, y0, search, lam_fx)
-            mvx, mvy = subpel_refine(blk, ry, x0, y0, mvi, lam_fx,
+            ix, iy, cost = integer_search(blk, ry, x0, y0, search, lam_fx)
+            sad[r, c] = cost
+            mvx, mvy = subpel_refine(blk, ry, x0, y0, (ix, iy), lam_fx,
                                      me_precision)
             mvs[r, c] = (mvx, mvy)
 
@@ -155,9 +158,11 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
             rec_v[cy0:cy0 + cs, cx0:cx0 + cs] = rc_v
 
     # ---- stage B: shared sequential decision walk ----
-    return build_p_plans(mvs, lev_y, lev_u, lev_v,
+    plan = build_p_plans(mvs, lev_y, lev_u, lev_v,
                          (rec_y, rec_u, rec_v), size=size,
                          max_merge_cand=max_merge_cand)
+    plan.sad = sad
+    return plan
 
 
 def build_p_plans(mvs, lev_y, lev_u, lev_v, recon, *, size: int,

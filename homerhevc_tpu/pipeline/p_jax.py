@@ -92,8 +92,8 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
                 jnp.where(better, o, best_o)), None
 
     big = jnp.full((nby, nbx), 1 << 30, I32)
-    (_, best_o), _ = jax.lax.scan(step, (big, jnp.zeros((nby, nbx), I32)),
-                                  jnp.arange(n, dtype=I32))
+    (best_cost, best_o), _ = jax.lax.scan(
+        step, (big, jnp.zeros((nby, nbx), I32)), jnp.arange(n, dtype=I32))
     ivy = best_o // n - search                      # (nby, nbx)
     ivx = best_o % n - search
 
@@ -246,6 +246,7 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
            to_plane(outs["rec_v"], B2))
     return dict(
         mvs=mvs,
+        sad=best_cost,            # best integer ME cost (scene-change signal)
         lev_y=lev_y.astype(jnp.int16),
         lev_u=outs["lev_u"].reshape(nby, nbx, B2, B2).astype(jnp.int16),
         lev_v=outs["lev_v"].reshape(nby, nbx, B2, B2).astype(jnp.int16),
@@ -290,17 +291,22 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
 
 
 @functools.partial(jax.jit, static_argnames=("B",))
-def deblock_intra_device(rec_y, rec_u, rec_v, *, B: int, qp):
-    """On-device deblocking of an all-intra frame (uniform TU grid, bS=2)."""
+def deblock_intra_device(rec_y, rec_u, rec_v, *, B: int, qp, split=None):
+    """On-device deblocking of an all-intra frame. `split` (nby, nbx) bool
+    marks CTUs coded as four half-size CUs (adds their internal TU edges);
+    None = uniform CU=TU=B grid."""
     from ..ops import deblock as dbk
     H, W = rec_y.shape
-    bs_v, bs_h = dbk.intra_edge_maps(H, W, min(B, 32))
+    if split is None:
+        bs_v, bs_h = dbk.intra_edge_maps(H, W, min(B, 32))
+        bs_v, bs_h = jnp.asarray(bs_v), jnp.asarray(bs_h)
+    else:
+        bs_v, bs_h = dbk.intra_bs_from_split(split, B, xp=jnp)
     qp_map = jnp.full((H // 4, W // 4), jnp.asarray(qp, jnp.int32))
     fy, fu, fv = dbk.deblock_frame(rec_y.astype(jnp.int32),
                                    rec_u.astype(jnp.int32),
                                    rec_v.astype(jnp.int32),
-                                   bs_v=jnp.asarray(bs_v),
-                                   bs_h=jnp.asarray(bs_h),
+                                   bs_v=bs_v, bs_h=bs_h,
                                    qp_map=qp_map, xp=jnp)
     return fy.astype(jnp.uint8), fu.astype(jnp.uint8), fv.astype(jnp.uint8)
 
