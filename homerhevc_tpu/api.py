@@ -38,11 +38,12 @@ class HomerEncoder:
     """Streaming HEVC encoder session (IDR + P low-delay structure)."""
 
     def __init__(self, cfg: EncoderConfig, *, backend: str = "jax",
-                 profiler=None):
+                 profiler=None, fetch_recon: bool = True):
         if backend not in ("golden", "jax"):
             raise ValueError(f"unknown backend {backend!r}")
         from .utils.profiler import NULL
         self.prof = profiler if profiler is not None else NULL
+        self.fetch_recon = fetch_recon
         self.cfg = cfg.validate()
         self.backend = backend
         c = self.cfg
@@ -104,11 +105,14 @@ class HomerEncoder:
         self.frame_bytes.append(len(au))
         if self._rc:
             self._rc.end_frame(len(au) * 8, is_idr)
-        self.last_recon = tuple(
-            p[:h, :w] for p, (h, w) in zip(
-                recon_padded, ((c.height, c.width),
-                               (c.height // 2, c.width // 2),
-                               (c.height // 2, c.width // 2))))
+        if recon_padded is None:
+            self.last_recon = None
+        else:
+            self.last_recon = tuple(
+                p[:h, :w] for p, (h, w) in zip(
+                    recon_padded, ((c.height, c.width),
+                                   (c.height // 2, c.width // 2),
+                                   (c.height // 2, c.width // 2))))
         return au
 
     # ------------------------------------------------------------------
@@ -122,10 +126,14 @@ class HomerEncoder:
         c = self.cfg
         size = 1 << self.ctu_log2
         deblk = c.deblocking
+        with self.prof.probe("upload"):
+            ydev, udev, vdev = (jnp.asarray(yp), jnp.asarray(up),
+                                jnp.asarray(vp))
+        self._cur_dev = (ydev, udev, vdev)
         if is_idr:
             with self.prof.probe("intra.device"):
                 out = intra_jax.encode_frame_intra(
-                    jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                    ydev, udev, vdev,
                     B=size, qp=qp, sign_hiding=c.sign_hiding,
                     split_rdo=self.intra_split)
             with self.prof.probe("intra.fetch+maps"):
@@ -152,26 +160,34 @@ class HomerEncoder:
         else:
             with self.prof.probe("p.device"):
                 out = p_jax.p_frame_device(
-                    jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+                    ydev, udev, vdev,
                     *self._ref, B=size, qp=qp,
                     search=c.me_search_range,
                     me_precision=int(c.motion_estimation_precision),
                     deblock=deblk, sign_hiding=c.sign_hiding)
+            with self.prof.probe("p.fetch"):
+                nby, nbx = self.ph // size, self.pw // size
+                meta = np.asarray(out["meta_packed"])
+                mvs = meta[:nby * nbx * 2].reshape(nby, nbx, 2)
+                sad = meta[nby * nbx * 2:].reshape(nby, nbx)
             if c.reinit_gop_on_scene_change:
                 # >SCENE_SAD_PER_PIXEL mean ME cost => scene cut: re-encode
                 # as IDR + GOP reinit (role of the reference's intra-ratio
                 # detector, hmr_motion_inter.c:3791-3806).
-                ms = float(np.asarray(out["sad"], np.int64).mean())
+                ms = float(sad.astype(np.int64).mean())
                 if ms / (size * size) > SCENE_SAD_PER_PIXEL:
                     self._scene_idr = True
                     if self._rc:
                         self._rc.on_scene_change()
                     return self._encode_jax(yp, up, vp, True, qp)
             with self.prof.probe("p.fetch"):
-                mvs = np.asarray(out["mvs"])
-                lev_y = np.asarray(out["lev_y"])
-                lev_u = np.asarray(out["lev_u"])
-                lev_v = np.asarray(out["lev_v"])
+                B2 = size // 2
+                packed = np.asarray(out["lev_packed"])
+                ny = nby * nbx * size * size
+                nc = nby * nbx * B2 * B2
+                lev_y = packed[:ny].reshape(nby, nbx, size, size)
+                lev_u = packed[ny:ny + nc].reshape(nby, nbx, B2, B2)
+                lev_v = packed[ny + nc:].reshape(nby, nbx, B2, B2)
             with self.prof.probe("p.decisions+maps"):
                 has_resid = (np.any(lev_y, axis=(-1, -2))
                              | np.any(lev_u, axis=(-1, -2))
@@ -187,8 +203,11 @@ class HomerEncoder:
                 au = assemble.assemble_p_au_from_maps(
                     self.params, maps, poc=self.poc - self.last_idr,
                     slice_qp=qp, sao_info=sao_info)
-        with self.prof.probe("ref.fetch"):
-            recon = tuple(np.asarray(p) for p in self._ref)
+        if self.fetch_recon:
+            with self.prof.probe("ref.fetch"):
+                recon = tuple(np.asarray(p) for p in self._ref)
+        else:
+            recon = None
         return au, recon
 
     # ------------------------------------------------------------------
@@ -238,17 +257,18 @@ class HomerEncoder:
         # SAO output (the decoder-side reference picture).
         if not self.cfg.sample_adaptive_offset:
             return None
-        import jax.numpy as jnp
-
         from . import tables
-        from .ops.sao import sao_stage
         qp_c = int(tables.chroma_qp_from_luma(qp))
         size = 1 << self.ctu_log2
-        info, filt = sao_stage((yp, up, vp), self._ref, size, qp, qp_c)
         if self.backend == "jax":
-            self._ref = tuple(jnp.asarray(p) for p in filt)
+            from .ops.sao import sao_stage_device
+            info, filt = sao_stage_device(self._cur_dev, self._ref, size,
+                                          qp, qp_c)
+            self._ref = filt              # stays on device
         else:
-            self._ref = filt
+            from .ops.sao import sao_stage
+            info, self._ref = sao_stage((yp, up, vp), self._ref, size, qp,
+                                        qp_c)
         return info
 
     def close(self) -> None:

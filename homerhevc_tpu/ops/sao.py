@@ -258,6 +258,130 @@ def apply_sao(rec, params, ctu: int, xp=np):
     return out
 
 
+def _ctu_reduce_xp(arr, ctu: int, xp):
+    H, W = arr.shape
+    return arr.reshape(H // ctu, ctu, W // ctu, ctu).sum(axis=(1, 3))
+
+
+def _stats_device_one(orig, rec, ctu, xp):
+    """(ke, se, kb, sb) int32 stat tensors for one component, on device."""
+    o = orig.astype(xp.int32)
+    r = rec.astype(xp.int32)
+    diff = o - r
+    ke, se = [], []
+    for cls in range(4):
+        idx = edge_idx_map(r, cls, xp=xp)
+        k_c, s_c = [], []
+        for ei in (0, 1, 3, 4):
+            m = idx == ei
+            k_c.append(_ctu_reduce_xp(m.astype(xp.int32), ctu, xp))
+            s_c.append(_ctu_reduce_xp(xp.where(m, diff, 0), ctu, xp))
+        ke.append(xp.stack(k_c))
+        se.append(xp.stack(s_c))
+    band = r >> 3
+    kb, sb = [], []
+    for b in range(32):
+        m = band == b
+        kb.append(_ctu_reduce_xp(m.astype(xp.int32), ctu, xp))
+        sb.append(_ctu_reduce_xp(xp.where(m, diff, 0), ctu, xp))
+    return (xp.stack(ke), xp.stack(se), xp.stack(kb), xp.stack(sb))
+
+
+def _component_costs_from_stats(ke, se, kb, sb, lam_fx: int):
+    """Host-side twin of _component_costs operating on fetched stat tensors
+    (tiny (4,4,nby,nbx)/(32,nby,nbx) arrays)."""
+    ke = np.asarray(ke, np.int64)
+    se = np.asarray(se, np.int64)
+    kb = np.asarray(kb, np.int64)
+    sb = np.asarray(sb, np.int64)
+    nby, nbx = ke.shape[-2:]
+    offs = np.zeros((4, 4, nby, nbx), np.int32)
+    cost_eo = np.zeros((4, nby, nbx), np.int64)
+    for cat in range(4):
+        sign = 1 if cat < 2 else -1
+        h, c = _best_offset(ke[:, cat], se[:, cat], lam_fx, sign)
+        offs[:, cat] = h
+        cost_eo += c
+    hb, cb = _best_offset(kb, sb, lam_fx, 0)
+    win_costs = np.stack([cb[p:p + 4].sum(axis=0) for p in range(29)])
+    band_pos = np.argmin(win_costs, axis=0)
+    bo_cost = np.min(win_costs, axis=0)
+    bo_off = np.stack([np.take_along_axis(hb, (band_pos + i)[None], 0)[0]
+                       for i in range(4)])
+    return dict(cost_eo=cost_eo, eo_offs=offs, band_pos=band_pos,
+                bo_cost=bo_cost, bo_off=bo_off,
+                zero=np.zeros((nby, nbx), np.int64))
+
+
+def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
+                     qp_c: int):
+    """Device-accelerated SAO stage: stats + application run on device
+    (whole-frame reductions/selects); only the tiny per-CTU stat tensors and
+    the chosen params cross the host boundary. Returns
+    (sao_info, filtered device planes)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import tables
+
+    @functools.partial(jax.jit, static_argnames=("ctu",))
+    def stats(oy, ry, ou, ru, ov, rv, ctu):
+        return (_stats_device_one(oy, ry, ctu, jnp)
+                + _stats_device_one(ou, ru, ctu // 2, jnp)
+                + _stats_device_one(ov, rv, ctu // 2, jnp))
+
+    oy, ou, ov = orig_planes_dev
+    ry, ru, rv = dbk_planes_dev
+    st = stats(oy, ry, ou, ru, ov, rv, ctu)
+    st = [np.asarray(t) for t in jax.device_get(st)]
+    lam_y = int(tables.LAMBDA_FX[min(qp, 51)])
+    lam_c = int(tables.LAMBDA_FX[min(qp_c, 51)])
+
+    ccy = _component_costs_from_stats(*st[0:4], lam_y)
+    ccb = _component_costs_from_stats(*st[4:8], lam_c)
+    ccr = _component_costs_from_stats(*st[8:12], lam_c)
+
+    cost_eo = ccy["cost_eo"] + ((lam_y * 6) >> 8)
+    cls = np.argmin(cost_eo, axis=0)
+    eo_cost = np.take_along_axis(cost_eo, cls[None], axis=0)[0]
+    bo_cost = ccy["bo_cost"] + ((lam_y * 10) >> 8)
+    off_cost = ccy["zero"] + ((lam_y * 1) >> 8)
+    typ = np.argmin(np.stack([off_cost, bo_cost, eo_cost]), axis=0)
+    luma = _pack(typ, cls, ccy["band_pos"], ccy["bo_off"], ccy["eo_offs"])
+
+    cost_eo_c = ccb["cost_eo"] + ccr["cost_eo"] + ((lam_c * 6) >> 8)
+    cls_c = np.argmin(cost_eo_c, axis=0)
+    eo_cost_c = np.take_along_axis(cost_eo_c, cls_c[None], axis=0)[0]
+    bo_cost_c = ccb["bo_cost"] + ccr["bo_cost"] + ((lam_c * 16) >> 8)
+    off_cost_c = ccb["zero"] + ((lam_c * 1) >> 8)
+    typ_c = np.argmin(np.stack([off_cost_c, bo_cost_c, eo_cost_c]), axis=0)
+    cbp = _pack(typ_c, cls_c, ccb["band_pos"], ccb["bo_off"], ccb["eo_offs"])
+    crp = _pack(typ_c, cls_c, ccr["band_pos"], ccr["bo_off"], ccr["eo_offs"])
+
+    ml, mu = derive_merge_flags(luma, cbp, crp)
+
+    @functools.partial(jax.jit, static_argnames=("ctu",))
+    def apply_dev(rec, typ, eo_cls, band_pos, offsets, ctu):
+        params = dict(type=typ, eo_class=eo_cls, band_pos=band_pos,
+                      offsets=offsets)
+        return apply_sao(rec, params, ctu, xp=jnp).astype(jnp.uint8)
+
+    def run_apply(rec, par, c):
+        return apply_dev(rec, jnp.asarray(par["type"]),
+                         jnp.asarray(par["eo_class"]),
+                         jnp.asarray(par["band_pos"]),
+                         jnp.asarray(par["offsets"]), c)
+
+    fy = run_apply(ry, luma, ctu)
+    fu = run_apply(ru, cbp, ctu // 2)
+    fv = run_apply(rv, crp, ctu // 2)
+    info = dict(luma=luma, cb=cbp, cr=crp, merge_left=ml, merge_up=mu,
+                sao_luma=True, sao_chroma=True)
+    return info, (fy, fu, fv)
+
+
 def sao_stage(orig_planes, dbk_planes, ctu: int, qp: int, qp_c: int):
     """Full encoder-side SAO stage: derive params for Y/Cb/Cr, set
     equality-based merge flags, apply. Returns (sao_info, filtered planes).

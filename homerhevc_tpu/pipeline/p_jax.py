@@ -20,6 +20,7 @@ Produces bit-identical streams to pipeline/p_golden.py (tested).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,29 @@ def _bits_tab(max_abs: int) -> np.ndarray:
     """bits(c) = 1 + 2*bitlen(|c|) lookup for |c| in 0..max_abs."""
     return np.array([1 + 2 * int(a).bit_length() for a in range(max_abs + 1)],
                     dtype=np.int32)
+
+
+_PALLAS_STATE = {"ok": None}
+
+
+def _pallas_ok() -> bool:
+    """One-time probe: can the Pallas ME kernel compile+run on this backend?
+    Falls back to the XLA search if not (e.g. unsupported TPU gen)."""
+    if _PALLAS_STATE["ok"] is None:
+        if os.environ.get("HOMERHEVC_NO_PALLAS"):
+            _PALLAS_STATE["ok"] = False
+            return False
+        try:
+            from ..ops.me_pallas import integer_me_pallas
+            c = jnp.zeros((32, 128), jnp.int16)
+            r = jnp.zeros((32 + 64, 128 + 64), jnp.int16)
+            mc = jnp.zeros((9 * 9,), jnp.int32)
+            cost, _ = integer_me_pallas(c, r, mc, B=32, search=4, pad=32)
+            np.asarray(cost)
+            _PALLAS_STATE["ok"] = True
+        except Exception:
+            _PALLAS_STATE["ok"] = False
+    return _PALLAS_STATE["ok"]
 
 
 def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
@@ -65,10 +89,23 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
     bits2 = jnp.asarray(bits1[:, None] + bits1[None, :], I32)
     mvcost_j = ((lam * bits2) >> 8).reshape(-1)
 
-    # Scan over dy; all dx evaluated as one batched tensor per step. First-
-    # minimum raster semantics: argmin over dx picks the smallest dx, the
-    # strict-less carry update keeps the smallest dy — identical tie-breaks
-    # to the golden encoder's flat raster argmin.
+    if jax.default_backend() == "tpu" and _pallas_ok():
+        # Pallas kernel: reference band resident in VMEM for the whole
+        # window sweep (ops/me_pallas.py); bit-identical tie-breaks.
+        from ..ops.me_pallas import integer_me_pallas
+        best_cost, best_o = integer_me_pallas(
+            cur, ry, mvcost_j, B=B, search=search, pad=PAD)
+        ivy = best_o // n - search
+        ivx = best_o % n - search
+        return _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx,
+                             best_cost, B=B, qp=qp, qp_c=qp_c, lam=lam,
+                             search=search, me_precision=me_precision,
+                             sign_hiding=sign_hiding)
+
+    # XLA fallback: scan over dy; all dx evaluated as one batched tensor per
+    # step. First-minimum raster semantics: argmin over dx picks the
+    # smallest dx, the strict-less carry update keeps the smallest dy —
+    # identical tie-breaks to the golden encoder's flat raster argmin.
     cur16 = cur.astype(jnp.int16)
 
     def step(carry, dyi):
@@ -96,6 +133,19 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
         step, (big, jnp.zeros((nby, nbx), I32)), jnp.arange(n, dtype=I32))
     ivy = best_o // n - search                      # (nby, nbx)
     ivx = best_o % n - search
+    return _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost,
+                         B=B, qp=qp, qp_c=qp_c, lam=lam, search=search,
+                         me_precision=me_precision, sign_hiding=sign_hiding)
+
+
+def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
+                  B, qp, qp_c, lam, search, me_precision, sign_hiding):
+    """Subpel refinement + MC + residual coding, shared by the Pallas and
+    XLA integer-search front ends."""
+    H, W = cur.shape
+    nby, nbx = H // B, W // B
+    B2 = B // 2
+    log2 = B.bit_length() - 1
 
     # ---------------- per-block subpel + MC + residual ----------------
     bits_q = jnp.asarray(_bits_tab(4 * search + 8), I32)
@@ -244,12 +294,19 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
     lev_y = outs["lev_y"].reshape(nby, nbx, B, B)
     rec = (to_plane(outs["rec_y"], B), to_plane(outs["rec_u"], B2),
            to_plane(outs["rec_v"], B2))
+    ly16 = lev_y.astype(jnp.int16)
+    lu16 = outs["lev_u"].reshape(nby, nbx, B2, B2).astype(jnp.int16)
+    lv16 = outs["lev_v"].reshape(nby, nbx, B2, B2).astype(jnp.int16)
     return dict(
         mvs=mvs,
         sad=best_cost,            # best integer ME cost (scene-change signal)
-        lev_y=lev_y.astype(jnp.int16),
-        lev_u=outs["lev_u"].reshape(nby, nbx, B2, B2).astype(jnp.int16),
-        lev_v=outs["lev_v"].reshape(nby, nbx, B2, B2).astype(jnp.int16),
+        lev_y=ly16, lev_u=lu16, lev_v=lv16,
+        # one contiguous buffer so the host fetches levels in a single RPC
+        # (the tunnel's per-transfer latency dominates small fetches)
+        lev_packed=jnp.concatenate([ly16.reshape(-1), lu16.reshape(-1),
+                                    lv16.reshape(-1)]),
+        meta_packed=jnp.concatenate([mvs.reshape(-1),
+                                     best_cost.reshape(-1)]),
         recon_y=rec[0].astype(jnp.uint8),
         recon_u=rec[1].astype(jnp.uint8),
         recon_v=rec[2].astype(jnp.uint8),
