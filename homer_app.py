@@ -27,7 +27,7 @@ def parse_args(argv):
     ap.add_argument("-cu_size", type=int, default=32, choices=(16, 32, 64))
     ap.add_argument("-intra_period", type=int, default=100)
     ap.add_argument("-gop_size", type=int, default=1,
-                    help="0: all intra, 1: IPPP (B frames not yet supported)")
+                    help="0: all intra, 1: IPPP, 2: IBP (one B between anchors)")
     ap.add_argument("-qp", type=int, default=32)
     ap.add_argument("-motion_estimation_precision", type=int, default=2,
                     choices=(0, 1, 2))
@@ -93,6 +93,10 @@ def main(argv=None):
         me_search_range=args.search_range,
         wpp=args.n_wpp_threads > 0)
 
+    if args.gop_size >= 2:
+        # IBP needs one-frame reordering; run as a batch sequence.
+        return main_ibp(args, cfg, w, h)
+
     from homerhevc_tpu.utils.profiler import Profiler
     prof = Profiler(enabled=args.profiling)
     enc = HomerEncoder(cfg, backend=args.backend, profiler=prof)
@@ -128,6 +132,45 @@ def main(argv=None):
     print(f"{n} frames in {dt*1000:.0f} milliseconds: {n/dt:f} fps")
     if args.profiling:
         print(prof.report())
+    return 0
+
+
+def main_ibp(args, cfg, w, h):
+    from homerhevc_tpu.pipeline import gop as gop_mod
+
+    frames = list(read_yuv_frames(args.input, w, h, args.n_frames,
+                                  args.skipped_frames))
+    # pad to CTU grid
+    ph, pw = cfg.padded_height, cfg.padded_width
+    padded = [tuple(np.pad(p, ((0, t - p.shape[0]), (0, tw - p.shape[1])),
+                           mode="edge")
+                    for p, (t, tw) in zip(f, ((ph, pw), (ph // 2, pw // 2),
+                                              (ph // 2, pw // 2))))
+              for f in frames]
+    t0 = time.time()
+    res = gop_mod.encode_ibp(padded, qp=cfg.qp,
+                             ctu_log2=cfg.cu_size.bit_length() - 1,
+                             deblocking=cfg.deblocking,
+                             search=cfg.me_search_range,
+                             me_precision=int(cfg.motion_estimation_precision),
+                             sign_hiding=cfg.sign_hiding)
+    dt = time.time() - t0
+    if args.output:
+        with open(args.output, "wb") as f:
+            f.write(res.stream)
+    if args.output_raw:
+        with open(args.output_raw, "wb") as f:
+            for rec in res.recons:
+                for p, (t, tw) in zip(rec, ((cfg.height, cfg.width),
+                                            (cfg.height // 2, cfg.width // 2),
+                                            (cfg.height // 2, cfg.width // 2))):
+                    f.write(np.ascontiguousarray(p[:t, :tw]).tobytes())
+    n = len(frames)
+    for i, b in enumerate(res.per_frame_bytes):
+        ptype = "I" if i == 0 else ("B" if i % 2 == 1 and i < n - (n % 2 == 0)
+                                    else "P")
+        print(f"POC:{i}, {ptype}, bits:{b * 8}, qp: {cfg.qp}", flush=True)
+    print(f"{n} frames in {dt*1000:.0f} milliseconds: {n/dt:f} fps")
     return 0
 
 

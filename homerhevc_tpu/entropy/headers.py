@@ -20,9 +20,12 @@ LOG2_MAX_POC_LSB = 8  # log2_max_pic_order_cnt_lsb_minus4 = 4
 
 @dataclass
 class StRefPicSet:
-    """Short-term RPS: negative (past) reference deltas only for low-delay."""
+    """Short-term RPS (spec 7.3.7): past (negative) and future (positive)
+    reference deltas — positives are used by B pictures (IBP GOP)."""
     delta_pocs: tuple = (1,)           # positive magnitudes of negative deltas
     used: tuple = (True,)
+    pos_delta_pocs: tuple = ()         # magnitudes of positive deltas
+    pos_used: tuple = ()
 
 
 @dataclass
@@ -52,6 +55,7 @@ class StreamParams:
     temporal_mvp: bool = False
     cu_qp_delta_enabled: bool = False
     cu_qp_delta_depth: int = 0
+    num_reorder_pics: int = 0          # 1 when B pictures are present
 
 
 def _profile_tier_level(bw: BitWriter, params: StreamParams) -> None:
@@ -82,8 +86,8 @@ def write_vps(params: StreamParams) -> bytes:
     bw.write(0xFFFF, 16)      # vps_reserved_0xffff_16bits
     _profile_tier_level(bw, params)
     bw.write(1, 1)            # vps_sub_layer_ordering_info_present_flag
-    bw.write_ue(params.num_ref_frames)  # vps_max_dec_pic_buffering_minus1
-    bw.write_ue(0)            # vps_max_num_reorder_pics
+    bw.write_ue(params.num_ref_frames + params.num_reorder_pics)
+    bw.write_ue(params.num_reorder_pics)  # vps_max_num_reorder_pics
     bw.write_ue(0)            # vps_max_latency_increase_plus1
     bw.write(0, 6)            # vps_max_layer_id
     bw.write_ue(0)            # vps_num_layer_sets_minus1
@@ -94,15 +98,20 @@ def write_vps(params: StreamParams) -> bytes:
 
 
 def _write_st_ref_pic_set(bw: BitWriter, rps: StRefPicSet, idx: int) -> None:
-    """st_ref_pic_set() (spec 7.3.7), negative deltas only."""
+    """st_ref_pic_set() (spec 7.3.7)."""
     if idx != 0:
         bw.write(0, 1)        # inter_ref_pic_set_prediction_flag
     bw.write_ue(len(rps.delta_pocs))   # num_negative_pics
-    bw.write_ue(0)                      # num_positive_pics
+    bw.write_ue(len(rps.pos_delta_pocs))  # num_positive_pics
     prev = 0
     for d, u in zip(rps.delta_pocs, rps.used):
         bw.write_ue(d - prev - 1)       # delta_poc_s0_minus1
         bw.write_flag(u)                # used_by_curr_pic_s0_flag
+        prev = d
+    prev = 0
+    for d, u in zip(rps.pos_delta_pocs, rps.pos_used):
+        bw.write_ue(d - prev - 1)       # delta_poc_s1_minus1
+        bw.write_flag(u)                # used_by_curr_pic_s1_flag
         prev = d
 
 
@@ -128,8 +137,8 @@ def write_sps(params: StreamParams) -> bytes:
     bw.write_ue(0)            # bit_depth_chroma_minus8
     bw.write_ue(LOG2_MAX_POC_LSB - 4)  # log2_max_pic_order_cnt_lsb_minus4
     bw.write(1, 1)            # sps_sub_layer_ordering_info_present_flag
-    bw.write_ue(params.num_ref_frames)  # sps_max_dec_pic_buffering_minus1
-    bw.write_ue(0)            # sps_max_num_reorder_pics
+    bw.write_ue(params.num_ref_frames + params.num_reorder_pics)
+    bw.write_ue(params.num_reorder_pics)  # sps_max_num_reorder_pics
     bw.write_ue(0)            # sps_max_latency_increase_plus1
     bw.write_ue(params.min_cu_log2 - 3)  # log2_min_luma_coding_block_size_minus3
     bw.write_ue(params.ctu_log2 - params.min_cu_log2)

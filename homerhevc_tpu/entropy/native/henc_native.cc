@@ -212,9 +212,13 @@ struct Maps {
   const int8_t *depth, *luma_mode, *chroma_mode, *tr_depth, *merge_idx,
       *mvp_idx;
   const uint8_t *part_nxn, *pred_intra, *skip, *merge_flag;
-  const int32_t* mvd;  // (uh, uw, 2)
+  const int32_t* mvd;  // (uh, uw, 2), list 0
   const int32_t *cy, *ccb, *ccr;
   const int8_t* sao;   // (ny, nx, SAO_REC) or nullptr
+  // B slices: prediction direction + list-1 motion
+  const int8_t* inter_dir;   // 0=L0, 1=L1, 2=BI
+  const int32_t* mvd1;       // (uh, uw, 2), list 1
+  const int8_t* mvp_idx1;
 };
 
 int scan_mode_for_intra(int log2_size, int pred_mode, int c_idx) {
@@ -417,8 +421,20 @@ struct SliceEnc {
     if (merge) {
       merge_idx_bins(m.merge_idx[u]);
     } else {
-      mvd_coding(m.mvd[2 * u], m.mvd[2 * u + 1]);
-      bac->bin(OFF_MVP_IDX, m.mvp_idx[u]);
+      int idc = 0;
+      if (p.slice_type == 0) {  // B slice: inter_pred_idc (9.3.3.8)
+        idc = m.inter_dir ? m.inter_dir[u] : 0;
+        bac->bin(OFF_INTER_DIR + depth, idc == 2);
+        if (idc != 2) bac->bin(OFF_INTER_DIR + 4, idc == 1);
+      }
+      if (idc != 1) {
+        mvd_coding(m.mvd[2 * u], m.mvd[2 * u + 1]);
+        bac->bin(OFF_MVP_IDX, m.mvp_idx[u]);
+      }
+      if (idc != 0) {
+        mvd_coding(m.mvd1[2 * u], m.mvd1[2 * u + 1]);
+        bac->bin(OFF_MVP_IDX, m.mvp_idx1[u]);
+      }
     }
     mark_cu(x0, y0, log2_size, depth, false, false);
 
@@ -848,6 +864,8 @@ int henc_encode_slice(const SliceParams* sp, const int8_t* depth,
                       const int32_t* mvd, const int8_t* mvp_idx,
                       const int32_t* coeff_y, const int32_t* coeff_cb,
                       const int32_t* coeff_cr, const int8_t* sao,
+                      const int8_t* inter_dir, const int32_t* mvd1,
+                      const int8_t* mvp_idx1,
                       uint8_t* ctx_state,
                       uint8_t* ctx_mps, uint8_t* out, int out_cap,
                       int32_t* substream_sizes) {
@@ -858,7 +876,8 @@ int henc_encode_slice(const SliceParams* sp, const int8_t* depth,
   bac.mps = ctx_mps;
   Maps maps{depth,      luma_mode, chroma_mode, tr_depth, merge_idx, mvp_idx,
             part_nxn,   pred_intra, skip,       merge_flag,
-            mvd,        coeff_y,   coeff_cb,    coeff_cr,  sao};
+            mvd,        coeff_y,   coeff_cb,    coeff_cr,  sao,
+            inter_dir,  mvd1,      mvp_idx1};
   SliceEnc enc(*sp, maps, &bac);
   int ctu = 1 << sp->ctu_log2;
   int nx = (sp->pic_width + ctu - 1) / ctu;

@@ -101,6 +101,8 @@ def frame_maps_from_plans(plans, pic_w: int, pic_h: int, ctu_size: int):
     maps = dict(depth=z8(), luma_mode=z8(), chroma_mode=z8(), tr_depth=z8(),
                 merge_idx=z8(), mvp_idx=z8(), part_nxn=zb(), pred_intra=zb(),
                 skip=zb(), merge_flag=zb(),
+                inter_dir=z8(), mvp_idx_l1=z8(),
+                mvd_l1=np.zeros((uh, uw, 2), np.int32),
                 mvd=np.zeros((uh, uw, 2), np.int32),
                 coeff_y=np.zeros((pic_h, pic_w), np.int32),
                 coeff_cb=np.zeros((pic_h // 2, pic_w // 2), np.int32),
@@ -121,6 +123,10 @@ def frame_maps_from_plans(plans, pic_w: int, pic_h: int, ctu_size: int):
             maps["merge_idx"][sl] = p.merge_idx
             maps["mvp_idx"][sl] = p.mvp_idx
             maps["mvd"][sl] = p.mvd
+            if p.inter_dir is not None:
+                maps["inter_dir"][sl] = p.inter_dir
+                maps["mvd_l1"][sl] = p.mvd_l1
+                maps["mvp_idx_l1"][sl] = p.mvp_idx_l1
         else:
             maps["pred_intra"][sl] = 1
         maps["coeff_y"][p.y0:p.y0 + ctu_size, p.x0:p.x0 + ctu_size] = p.coeff_y
@@ -236,12 +242,17 @@ def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
                else np.zeros((1, 1, 21), np.int8))
 
     # Keep converted arrays alive for the duration of the call.
+    uh = pic_h // 4
+    uw = pic_w // 4
     arrs = [_c8(maps["depth"]), _c8(maps["luma_mode"]), _c8(maps["chroma_mode"]),
             _u8(maps["part_nxn"]), _c8(maps["tr_depth"]),
             _u8(maps["pred_intra"]), _u8(maps["skip"]), _u8(maps["merge_flag"]),
             _c8(maps["merge_idx"]), _i32(maps["mvd"]), _c8(maps["mvp_idx"]),
             _i32(maps["coeff_y"]), _i32(maps["coeff_cb"]), _i32(maps["coeff_cr"]),
             _c8(sao_rec) if sao_on else np.zeros(1, np.int8),
+            _c8(maps.get("inter_dir", np.zeros((uh, uw), np.int8))),
+            _i32(maps.get("mvd_l1", np.zeros((uh, uw, 2), np.int32))),
+            _c8(maps.get("mvp_idx_l1", np.zeros((uh, uw), np.int8))),
             state, mps, out]
     ptrs = [a.ctypes.data_as(ctypes.c_void_p) for a in arrs]
     if not sao_on:

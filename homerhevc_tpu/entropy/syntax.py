@@ -20,7 +20,7 @@ import numpy as np
 
 from .. import tables
 from .cabac import OFF, CabacEncoder, ContextSet
-from .headers import SLICE_I
+from .headers import SLICE_B, SLICE_I
 
 # ctxIdxMap for 4x4 sig_coeff_flag (spec 9.3.4.2.5).
 _SIG_CTX_MAP_4X4 = np.array([0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8],
@@ -52,8 +52,11 @@ class CtuPlan:
     skip: np.ndarray = None        # bool: cu_skip_flag
     merge_flag: np.ndarray = None  # bool (valid where inter, non-skip)
     merge_idx: np.ndarray = None   # int8
-    mvd: np.ndarray = None         # (units, units, 2) int32
-    mvp_idx: np.ndarray = None     # int8
+    mvd: np.ndarray = None         # (units, units, 2) int32, list 0
+    mvp_idx: np.ndarray = None     # int8, list 0
+    inter_dir: np.ndarray = None   # int8: 0=PRED_L0, 1=PRED_L1, 2=PRED_BI
+    mvd_l1: np.ndarray = None      # (units, units, 2) int32
+    mvp_idx_l1: np.ndarray = None  # int8
 
 
 class SliceSyntaxEncoder:
@@ -224,16 +227,33 @@ class SliceSyntaxEncoder:
         # part_mode: inter 2Nx2N only for now -> first bin = 1 (spec 9.3.3.7).
         self.enc.encode_bin(self.ctxs, OFF["PART_SIZE"], 1)
 
-        # prediction_unit (7.3.8.6), single 2Nx2N PU, P slice (PRED_L0
-        # inferred, one reference picture so ref_idx_l0 not coded).
+        # prediction_unit (7.3.8.6), single 2Nx2N PU; one reference per
+        # list, so ref_idx is never coded.
         merge = bool(plan.merge_flag[uy, ux])
         self.enc.encode_bin(self.ctxs, OFF["MERGE_FLAG"], int(merge))
         if merge:
             self._merge_idx(int(plan.merge_idx[uy, ux]))
         else:
-            self._mvd_coding(int(plan.mvd[uy, ux, 0]), int(plan.mvd[uy, ux, 1]))
-            self.enc.encode_bin(self.ctxs, OFF["MVP_IDX"],
-                                int(plan.mvp_idx[uy, ux]))
+            idc = 0
+            if self.slice_type == SLICE_B:
+                idc = int(plan.inter_dir[uy, ux])
+                # inter_pred_idc (9.3.3.8): 2Nx2N -> BI: "1"; L0: "00";
+                # L1: "01"; bin0 ctx = CtDepth, bin1 ctx = 4.
+                self.enc.encode_bin(self.ctxs, OFF["INTER_DIR"] + depth,
+                                    int(idc == 2))
+                if idc != 2:
+                    self.enc.encode_bin(self.ctxs, OFF["INTER_DIR"] + 4,
+                                        int(idc == 1))
+            if idc != 1:        # uses list 0
+                self._mvd_coding(int(plan.mvd[uy, ux, 0]),
+                                 int(plan.mvd[uy, ux, 1]))
+                self.enc.encode_bin(self.ctxs, OFF["MVP_IDX"],
+                                    int(plan.mvp_idx[uy, ux]))
+            if idc != 0:        # uses list 1 (mvd_l1_zero_flag is 0)
+                self._mvd_coding(int(plan.mvd_l1[uy, ux, 0]),
+                                 int(plan.mvd_l1[uy, ux, 1]))
+                self.enc.encode_bin(self.ctxs, OFF["MVP_IDX"],
+                                    int(plan.mvp_idx_l1[uy, ux]))
 
         self._mark_cu(x0, y0, log2_size, depth, is_intra=False, skip=False)
 

@@ -85,6 +85,54 @@ def mc_luma(ref_pad: np.ndarray, pad: int, x0: int, y0: int, h: int, w: int,
     return xp.clip((val + 32) >> 6, 0, 255)
 
 
+def mc_luma_hp(ref_pad, pad, x0, y0, h, w, mv_x, mv_y, xp=np):
+    """14-bit intermediate luma MC (no final shift/clip) for bi-prediction
+    (spec 8.5.4.2.2.1 predSampleLX values)."""
+    ix = x0 + (mv_x >> 2)
+    iy = y0 + (mv_y >> 2)
+    fx = mv_x & 3
+    fy = mv_y & 3
+    px = ix + pad - 3
+    py = iy + pad - 3
+    if fx == 0 and fy == 0:
+        return ref_pad[py + 3:py + 3 + h, px + 3:px + 3 + w].astype(xp.int32) << 6
+    if fy == 0:
+        win = ref_pad[py + 3:py + 3 + h, px:px + w + 7].astype(xp.int32)
+        return _filt_h(xp, win, LUMA_FILTERS[fx], 8)
+    if fx == 0:
+        win = ref_pad[py:py + h + 7, px + 3:px + 3 + w].astype(xp.int32)
+        return _filt_v(xp, win, LUMA_FILTERS[fy], 8)
+    win = ref_pad[py:py + h + 7, px:px + w + 7].astype(xp.int32)
+    tmp = _filt_h(xp, win, LUMA_FILTERS[fx], 8)
+    return _filt_v(xp, tmp, LUMA_FILTERS[fy], 8) >> 6
+
+
+def mc_chroma_hp(ref_pad, pad, x0, y0, h, w, mv_x, mv_y, xp=np):
+    """14-bit intermediate chroma MC for bi-prediction (8.5.4.2.2.2)."""
+    ix = x0 + (mv_x >> 3)
+    iy = y0 + (mv_y >> 3)
+    fx = mv_x & 7
+    fy = mv_y & 7
+    px = ix + pad - 1
+    py = iy + pad - 1
+    if fx == 0 and fy == 0:
+        return ref_pad[py + 1:py + 1 + h, px + 1:px + 1 + w].astype(xp.int32) << 6
+    if fy == 0:
+        win = ref_pad[py + 1:py + 1 + h, px:px + w + 3].astype(xp.int32)
+        return _filt_h(xp, win, CHROMA_FILTERS[fx], 4)
+    if fx == 0:
+        win = ref_pad[py:py + h + 3, px + 1:px + 1 + w].astype(xp.int32)
+        return _filt_v(xp, win, CHROMA_FILTERS[fy], 4)
+    win = ref_pad[py:py + h + 3, px:px + w + 3].astype(xp.int32)
+    tmp = _filt_h(xp, win, CHROMA_FILTERS[fx], 4)
+    return _filt_v(xp, tmp, CHROMA_FILTERS[fy], 4) >> 6
+
+
+def bi_average(hp0, hp1, xp=np):
+    """Default bi-prediction combine (spec 8.5.4.2.3.1, 8-bit output)."""
+    return xp.clip((hp0 + hp1 + 64) >> 7, 0, 255)
+
+
 def mc_chroma(ref_pad: np.ndarray, pad: int, x0: int, y0: int, h: int, w: int,
               mv_x: int, mv_y: int, xp=np) -> np.ndarray:
     """Chroma MC (spec 8.5.4.2.2.2). (x0, y0) in chroma samples; mv is the

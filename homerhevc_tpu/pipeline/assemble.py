@@ -120,7 +120,8 @@ def encode_slice_data_wpp(params: headers.StreamParams, plans, *,
 
 
 def _wpp_slice_header(params, data, sizes, *, slice_type, is_idr, is_irap,
-                      poc, slice_qp, max_merge_cand=5, sao_info=None):
+                      poc, slice_qp, max_merge_cand=5, sao_info=None,
+                      rps_idx=0):
     bounds = [0]
     for s in sizes:
         bounds.append(bounds[-1] + s)
@@ -130,7 +131,7 @@ def _wpp_slice_header(params, data, sizes, *, slice_type, is_idr, is_irap,
         params, slice_type=slice_type, is_idr=is_idr, is_irap=is_irap,
         poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand,
         num_entry_points=len(offsets), entry_point_offsets=offsets,
-        **_sao_flags(sao_info))
+        rps_idx=rps_idx, **_sao_flags(sao_info))
 
 
 def _sao_flags(sao_info):
@@ -169,25 +170,26 @@ def assemble_idr_au(params: headers.StreamParams, plans, *, slice_qp: int,
 
 def assemble_p_au(params: headers.StreamParams, plans, *, poc: int,
                   slice_qp: int, max_merge_cand: int = 5,
-                  sao_info: dict | None = None) -> bytes:
-    """Build one P (TRAIL_R) access unit."""
+                  sao_info: dict | None = None, slice_type=headers.SLICE_P,
+                  rps_idx: int = 0) -> bytes:
+    """Build one P or B (TRAIL_R) access unit."""
     if params.wpp_enabled:
         data, sizes = encode_slice_data(
-            params, plans, slice_qp=slice_qp, slice_type=headers.SLICE_P,
+            params, plans, slice_qp=slice_qp, slice_type=slice_type,
             max_merge_cand=max_merge_cand, sao_info=sao_info)
         sh = _wpp_slice_header(params, data, sizes,
-                               slice_type=headers.SLICE_P, is_idr=False,
+                               slice_type=slice_type, is_idr=False,
                                is_irap=False, poc=poc, slice_qp=slice_qp,
                                max_merge_cand=max_merge_cand,
-                               sao_info=sao_info)
+                               sao_info=sao_info, rps_idx=rps_idx)
         payload = sh.get_bytes() + data
     else:
         sh = headers.write_slice_header(
-            params, slice_type=headers.SLICE_P, is_idr=False, is_irap=False,
+            params, slice_type=slice_type, is_idr=False, is_irap=False,
             poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand,
-            **_sao_flags(sao_info))
+            rps_idx=rps_idx, **_sao_flags(sao_info))
         payload = sh.get_bytes() + encode_slice_data(
-            params, plans, slice_qp=slice_qp, slice_type=headers.SLICE_P,
+            params, plans, slice_qp=slice_qp, slice_type=slice_type,
             max_merge_cand=max_merge_cand, sao_info=sao_info)
     return bs.annexb_wrap(bs.nal_unit(bs.NAL_TRAIL_R, payload), True)
 

@@ -193,3 +193,114 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
         recons.append(ref)
 
     return SequenceResult(bytes(stream), recons, per_frame)
+
+
+def encode_ibp(frames, *, qp: int, ctu_log2: int = 5, deblocking: bool = True,
+               search: int = 16, me_precision: int = 2,
+               max_merge_cand: int = 5,
+               sign_hiding: bool = False) -> SequenceResult:
+    """IBP GOP (gop_size 2, one B between anchors) — the reference's default
+    structure (hmr_encoder_lib.c:782-821 decode-order GOP tables).
+
+    Decode order: I0, P2, B1, P4, B3, ... Stream AUs are emitted in decode
+    order; `recons` stays in display order (what the decoder outputs).
+    """
+    from ..ops.inter_b import inter_bs_maps_b
+    from . import b_golden
+
+    frames = list(frames)
+    n = len(frames)
+    size = 1 << ctu_log2
+    h, w = frames[0][0].shape
+    params = headers.StreamParams(
+        width=w, height=h, ctu_log2=ctu_log2, min_cu_log2=ctu_log2,
+        max_tu_log2=min(5, ctu_log2), max_tr_depth_intra=0,
+        max_tr_depth_inter=0, init_qp=qp, sign_hiding=sign_hiding,
+        deblocking_disabled=not deblocking, num_ref_frames=2,
+        num_reorder_pics=1,
+        rps_list=(headers.StRefPicSet(delta_pocs=(2,), used=(True,)),
+                  headers.StRefPicSet(delta_pocs=(1,), used=(True,),
+                                      pos_delta_pocs=(1,), pos_used=(True,)),
+                  # trailing P (odd-length sequence): prev anchor only
+                  headers.StRefPicSet(delta_pocs=(1,), used=(True,))))
+
+    stream = bytearray()
+    recons = [None] * n
+    per_frame = [0] * n
+
+    def deblock_b(plan, poc):
+        if not deblocking:
+            return tuple(p.astype(np.uint8) for p in plan.recon)
+        bs_v, bs_h = inter_bs_maps_b(plan.field, min(size, 32),
+                                     plan.cbf_y_unit)
+        qp_map = np.full((h // 4, w // 4), qp, np.int32)
+        fy, fu, fv = deblock.deblock_frame(
+            *(p.astype(np.int32) for p in plan.recon),
+            bs_v=bs_v, bs_h=bs_h, qp_map=qp_map)
+        return tuple(p.astype(np.uint8) for p in (fy, fu, fv))
+
+    # anchor 0: IDR
+    plan = intra_golden.encode_intra_frame(*frames[0], qp=qp,
+                                           ctu_log2=ctu_log2,
+                                           sign_hiding=sign_hiding)
+    au = assemble.assemble_idr_au(params, plan.ctu_plans, slice_qp=qp)
+    stream += au
+    per_frame[0] = len(au)
+    prev_anchor = _deblock_intra(plan.recon, qp, h, w, min(size, 32),
+                                 deblocking)
+    recons[0] = prev_anchor
+    prev_poc = 0
+
+    t = 1
+    while t < n:
+        if t + 1 < n:
+            # next anchor P at t+1 (decode-order first)
+            pplan = p_golden.encode_p_frame(
+                *frames[t + 1], prev_anchor, qp=qp, ctu_log2=ctu_log2,
+                search=search, me_precision=me_precision,
+                max_merge_cand=max_merge_cand, sign_hiding=sign_hiding)
+            au = assemble.assemble_p_au(params, pplan.ctu_plans, poc=t + 1,
+                                        slice_qp=qp,
+                                        max_merge_cand=max_merge_cand,
+                                        rps_idx=0)
+            stream += au
+            per_frame[t + 1] = len(au)
+            new_anchor = _deblock_inter(pplan.recon, qp, h, w, min(size, 32),
+                                        pplan.field, pplan.cbf_y_unit,
+                                        deblocking)
+            recons[t + 1] = new_anchor
+            # B between the anchors
+            bplan = b_golden.encode_b_frame(
+                *frames[t], prev_anchor, new_anchor, qp=qp,
+                ctu_log2=ctu_log2, search=search,
+                me_precision=me_precision, max_merge_cand=max_merge_cand,
+                sign_hiding=sign_hiding, poc=t, poc_refs=(t - 1, t + 1))
+            au = assemble.assemble_p_au(params, bplan.ctu_plans, poc=t,
+                                        slice_qp=qp,
+                                        max_merge_cand=max_merge_cand,
+                                        slice_type=headers.SLICE_B,
+                                        rps_idx=1)
+            stream += au
+            per_frame[t] = len(au)
+            recons[t] = deblock_b(bplan, t)
+            prev_anchor = new_anchor
+            prev_poc = t + 1
+            t += 2
+        else:
+            # trailing frame: plain P referencing the previous anchor
+            pplan = p_golden.encode_p_frame(
+                *frames[t], prev_anchor, qp=qp, ctu_log2=ctu_log2,
+                search=search, me_precision=me_precision,
+                max_merge_cand=max_merge_cand, sign_hiding=sign_hiding)
+            au = assemble.assemble_p_au(params, pplan.ctu_plans, poc=t,
+                                        slice_qp=qp,
+                                        max_merge_cand=max_merge_cand,
+                                        rps_idx=2)
+            stream += au
+            per_frame[t] = len(au)
+            recons[t] = _deblock_inter(pplan.recon, qp, h, w, min(size, 32),
+                                       pplan.field, pplan.cbf_y_unit,
+                                       deblocking)
+            t += 1
+
+    return SequenceResult(bytes(stream), recons, per_frame)
