@@ -48,15 +48,23 @@ class HomerEncoder:
         self.backend = backend
         c = self.cfg
         self.ctu_log2 = c.ctu_size.bit_length() - 1
+        # intra always codes at 32 max (HEVC intra prediction cap); a 64 CTU
+        # holds a forced quadtree level (decoder z-order handled on device).
+        self.intra_b = min(c.ctu_size, 32)
+        self.ctu64 = c.ctu_size == 64
         self.intra_split = (c.performance_mode
                             != PerformanceMode.FASTEST_COMPUTATION)
+        if self.ctu64 and backend != "jax":
+            raise ValueError("cu_size=64 requires the jax backend "
+                             "(z-order intra availability)")
         self.pw = c.padded_width
         self.ph = c.padded_height
         self.params = headers.StreamParams(
             width=c.width, height=c.height,
             pad_right=self.pw - c.width, pad_bottom=self.ph - c.height,
             ctu_log2=self.ctu_log2,
-            min_cu_log2=self.ctu_log2 - (1 if self.intra_split else 0),
+            min_cu_log2=(self.intra_b.bit_length() - 1
+                         - (1 if self.intra_split else 0)),
             max_tu_log2=min(5, self.ctu_log2),
             max_tr_depth_intra=0, max_tr_depth_inter=0,
             init_qp=c.qp, sign_hiding=c.sign_hiding,
@@ -131,24 +139,37 @@ class HomerEncoder:
                                 jnp.asarray(vp))
         self._cur_dev = (ydev, udev, vdev)
         if is_idr:
-            with self.prof.probe("intra.device"):
-                out = intra_jax.encode_frame_intra(
-                    ydev, udev, vdev,
-                    B=size, qp=qp, sign_hiding=c.sign_hiding,
-                    split_rdo=self.intra_split)
-            with self.prof.probe("intra.fetch+maps"):
-                maps = native_backend.maps_from_intra_grid(
-                    np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
-                    out["lev_v"], size,
-                    split=(np.asarray(out["split"]) if self.intra_split
-                           else None),
-                    child_modes=(np.asarray(out["child_modes"])
-                                 if self.intra_split else None))
+            ib = self.intra_b
+            if self.ctu64:
+                with self.prof.probe("intra.device"):
+                    out = intra_jax.encode_frame_intra_ctu64(
+                        ydev, udev, vdev, qp=qp, sign_hiding=c.sign_hiding,
+                        split_rdo=self.intra_split)
+                with self.prof.probe("intra.fetch+maps"):
+                    maps = native_backend.maps_from_intra_ctu64(out)
+                dbk_split = (native_backend.ctu64_to_grid32(
+                    np.asarray(out["split4"])) if self.intra_split else None)
+            else:
+                with self.prof.probe("intra.device"):
+                    out = intra_jax.encode_frame_intra(
+                        ydev, udev, vdev,
+                        B=ib, qp=qp, sign_hiding=c.sign_hiding,
+                        split_rdo=self.intra_split)
+                with self.prof.probe("intra.fetch+maps"):
+                    maps = native_backend.maps_from_intra_grid(
+                        np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
+                        out["lev_v"], ib,
+                        split=(np.asarray(out["split"]) if self.intra_split
+                               else None),
+                        child_modes=(np.asarray(out["child_modes"])
+                                     if self.intra_split else None))
+                dbk_split = out["split"] if self.intra_split else None
             if deblk:
                 self._ref = p_jax.deblock_intra_device(
                     out["recon_y"], out["recon_u"], out["recon_v"],
-                    B=size, qp=qp,
-                    split=(out["split"] if self.intra_split else None))
+                    B=ib, qp=qp,
+                    split=(None if dbk_split is None
+                           else jnp.asarray(dbk_split)))
             else:
                 self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
             with self.prof.probe("sao"):

@@ -253,11 +253,15 @@ def intra_bs_from_split(split_blocks, B: int, xp=np):
     return bs_v, bs_h
 
 
-def inter_bs_from_blocks(mvs, cbf_blk, B: int, xp=np):
-    """bs maps for an all-inter CU=PU=TU=B grid, from per-block MVs + luma
-    cbf (spec 8.7.2.4 reduced: no intra, edges only at B-grid).
+def inter_bs_from_blocks(mvs, cbf_blk, B: int, xp=np, qcbf=None):
+    """bs maps for an all-inter CU=PU=B grid, from per-block MVs + luma
+    cbf (spec 8.7.2.4 reduced: no intra).
 
     mvs: (nby, nbx, 2) quarter-pel; cbf_blk: (nby, nbx) bool.
+    For B = 64 the TU implicitly splits to 32: pass qcbf (nby, nbx, 2, 2)
+    per-quadrant luma cbf; CU edges then use the edge-adjacent quadrant
+    cbfs and the internal TU-32 edges get bS 1 from cbf alone (MV is
+    uniform inside the CU).
     Returns bs_v (nby*B//4, nbx*B//8), bs_h (nby*B//8, nbx*B//4) — device
     (jnp) or host (np) depending on xp. Runs inside jit for the
     device-resident reference loop.
@@ -265,26 +269,56 @@ def inter_bs_from_blocks(mvs, cbf_blk, B: int, xp=np):
     nby, nbx = cbf_blk.shape
     rv = B // 4          # 4-row segments per block
     rh = B // 8          # 8-col edge slots per block
-    # vertical edges between block c-1 and c
-    dmv_v = xp.abs(mvs[:, 1:] - mvs[:, :-1]).max(axis=-1)      # (nby, nbx-1)
-    bs1_v = ((cbf_blk[:, 1:] | cbf_blk[:, :-1]) | (dmv_v >= 4)).astype(xp.int32)
+
+    def setcol(arr, idx, vals):
+        if xp is np:
+            arr[:, idx] = vals
+            return arr
+        return arr.at[:, idx].set(vals)
+
+    def setrow(arr, idx, vals):
+        if xp is np:
+            arr[idx, :] = vals
+            return arr
+        return arr.at[idx, :].set(vals)
+
+    dmv_v = xp.abs(mvs[:, 1:] - mvs[:, :-1]).max(axis=-1) >= 4  # (nby, nbx-1)
+    dmv_h = xp.abs(mvs[1:, :] - mvs[:-1, :]).max(axis=-1) >= 4  # (nby-1, nbx)
     bs_v = xp.zeros((nby * rv, nbx * rh), xp.int32)
-    col = xp.repeat(bs1_v, rv, axis=0)                          # (H/4, nbx-1)
-    idx = (np.arange(1, nbx) * rh).astype(np.int32)
-    if xp is np:
-        bs_v[:, idx] = col
-    else:
-        bs_v = bs_v.at[:, idx].set(col)
-    # horizontal edges between block r-1 and r
-    dmv_h = xp.abs(mvs[1:, :] - mvs[:-1, :]).max(axis=-1)
-    bs1_h = ((cbf_blk[1:, :] | cbf_blk[:-1, :]) | (dmv_h >= 4)).astype(xp.int32)
     bs_h = xp.zeros((nby * rh, nbx * rv), xp.int32)
-    row = xp.repeat(bs1_h, rv, axis=1)
-    ridx = (np.arange(1, nby) * rh).astype(np.int32)
-    if xp is np:
-        bs_h[ridx, :] = row
-    else:
-        bs_h = bs_h.at[ridx, :].set(row)
+    col_idx = (np.arange(1, nbx) * rh).astype(np.int32)
+    row_idx = (np.arange(1, nby) * rh).astype(np.int32)
+
+    if qcbf is None:
+        bs1_v = ((cbf_blk[:, 1:] | cbf_blk[:, :-1]) | dmv_v).astype(xp.int32)
+        bs_v = setcol(bs_v, col_idx, xp.repeat(bs1_v, rv, axis=0))
+        bs1_h = ((cbf_blk[1:, :] | cbf_blk[:-1, :]) | dmv_h).astype(xp.int32)
+        bs_h = setrow(bs_h, row_idx, xp.repeat(bs1_h, rv, axis=1))
+        return bs_v, bs_h
+
+    q = qcbf.astype(xp.int32)                        # (nby, nbx, 2, 2)
+    # --- vertical CU edges, per row-half: left block right-col quadrant vs
+    # right block left-col quadrant ---
+    v_half = ((q[:, :-1, :, 1] | q[:, 1:, :, 0])
+              | dmv_v[:, :, None].astype(xp.int32))   # (nby, nbx-1, 2)
+    v_rows = (v_half.transpose(0, 2, 1).reshape(nby * 2, nbx - 1))
+    bs_v = setcol(bs_v, col_idx, xp.repeat(v_rows, rv // 2, axis=0))
+    # --- horizontal CU edges per col-half ---
+    h_half = ((q[:-1, :, 1, :] | q[1:, :, 0, :])
+              | dmv_h[:, :, None].astype(xp.int32))   # (nby-1, nbx, 2)
+    h_cols = h_half.reshape(nby - 1, nbx * 2)
+    bs_h = setrow(bs_h, row_idx, xp.repeat(h_cols, rv // 2, axis=1))
+    # --- internal TU-32 edges (cbf only) ---
+    v_top = q[..., 0, 0] | q[..., 0, 1]
+    v_bot = q[..., 1, 0] | q[..., 1, 1]
+    v_mid = xp.stack([v_top, v_bot], axis=1).reshape(nby * 2, nbx)
+    mid_col = (np.arange(nbx) * rh + rh // 2).astype(np.int32)
+    bs_v = setcol(bs_v, mid_col, xp.repeat(v_mid, rv // 2, axis=0))
+    h_left = q[..., 0, 0] | q[..., 1, 0]
+    h_right = q[..., 0, 1] | q[..., 1, 1]
+    h_mid = xp.stack([h_left, h_right], axis=2).reshape(nby, nbx * 2)
+    mid_row = (np.arange(nby) * rh + rh // 2).astype(np.int32)
+    bs_h = setrow(bs_h, mid_row, xp.repeat(h_mid, rv // 2, axis=1))
     return bs_v, bs_h
 
 

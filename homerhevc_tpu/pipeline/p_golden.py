@@ -118,8 +118,22 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
     rec_u = np.zeros((h // 2, w // 2), np.uint8)
     rec_v = np.zeros((h // 2, w // 2), np.uint8)
 
-    def code_block(orig, pred, qpq, lg2):
+    def code_block(orig, pred, qpq, lg2, max_tb=5):
+        """Residual-code one inter block. Above max_tb the TU implicitly
+        splits into four half-size TBs (spec 7.3.8.8); a 64 luma CU's
+        chroma follows the luma split (max_tb 4 -> 16x16 chroma TBs)."""
         resid = orig.astype(np.int32) - pred
+        if lg2 > max_tb:
+            h = 1 << (lg2 - 1)
+            lev = np.zeros_like(resid)
+            rec = np.zeros_like(resid)
+            for (qy, qx) in ((0, 0), (0, h), (h, 0), (h, h)):
+                lq, rq = code_block(orig[qy:qy + h, qx:qx + h],
+                                    pred[qy:qy + h, qx:qx + h], qpq,
+                                    lg2 - 1, max_tb)
+                lev[qy:qy + h, qx:qx + h] = lq
+                rec[qy:qy + h, qx:qx + h] = rq
+            return lev, rec.astype(np.uint8)
         coeff = golden.forward_transform(resid)
         lev = golden.quantize(coeff, qpq, lg2, is_intra=False)
         if sign_hiding:
@@ -148,11 +162,12 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
             pred_u = interp.mc_chroma(ru, PAD // 2, cx0, cy0, cs, cs, mvx, mvy)
             pred_v = interp.mc_chroma(rv, PAD // 2, cx0, cy0, cs, cs, mvx, mvy)
 
+            cmax_tb = 4 if log2 == 6 else 5
             lev_y[r, c], rc_y = code_block(blk, pred_y, qp, log2)
             lev_u[r, c], rc_u = code_block(u[cy0:cy0 + cs, cx0:cx0 + cs],
-                                           pred_u, qp_c, log2 - 1)
+                                           pred_u, qp_c, log2 - 1, cmax_tb)
             lev_v[r, c], rc_v = code_block(v[cy0:cy0 + cs, cx0:cx0 + cs],
-                                           pred_v, qp_c, log2 - 1)
+                                           pred_v, qp_c, log2 - 1, cmax_tb)
             rec_y[y0:y0 + size, x0:x0 + size] = rc_y
             rec_u[cy0:cy0 + cs, cx0:cx0 + cs] = rc_u
             rec_v[cy0:cy0 + cs, cx0:cx0 + cs] = rc_v
@@ -176,7 +191,14 @@ def build_p_plans(mvs, lev_y, lev_u, lev_v, recon, *, size: int,
                  | np.any(lev_v, axis=(-1, -2)))
     dec, fld = derive_block_decisions(mvs, has_resid, size, max_merge_cand)
 
-    cbf_y_unit = np.repeat(np.repeat(cbf_blk, units, 0), units, 1)
+    # cbf at TU granularity (TU = min(size, 32): a 64 CU implicitly splits)
+    tu = min(size, 32)
+    tpb = size // tu
+    cbf_tb = np.any(
+        np.asarray(lev_y).reshape(nby, nbx, tpb, tu, tpb, tu), axis=(3, 5))
+    cbf_y_unit = (np.repeat(np.repeat(
+        cbf_tb.transpose(0, 2, 1, 3).reshape(nby * tpb, nbx * tpb),
+        tu // 4, 0), tu // 4, 1))
     plans = []
     for r in range(nby):
         for c in range(nbx):

@@ -266,8 +266,31 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
         blk_u = jax.lax.dynamic_slice(u_pad.astype(I32), (cy0, cx0), (B2, B2))
         blk_v = jax.lax.dynamic_slice(v_pad.astype(I32), (cy0, cx0), (B2, B2))
 
-        def code(orig, pred, qpq, lg2):
+        def code(orig, pred, qpq, lg2, max_tb=5):
             resid = orig - pred
+            n = 1 << lg2
+            if lg2 > max_tb:
+                # implicit TU quadtree (spec 7.3.8.8): four half-size TBs,
+                # batched as one (4, n/2, n/2) tensor op.
+                h2 = n // 2
+                q = (resid.reshape(2, h2, 2, h2).transpose(0, 2, 1, 3)
+                     .reshape(4, h2, h2))
+                coeff = tx_ops.forward_transform(q)
+                lev = quant_ops.quantize(coeff, qpq, lg2 - 1, is_intra=False)
+                if sign_hiding:
+                    lev = quant_ops.sign_bit_hiding(lev, coeff, qpq, lg2 - 1)
+                rr = tx_ops.inverse_transform(
+                    quant_ops.dequantize(lev, qpq, lg2 - 1))
+                any_nz = jnp.any(lev != 0, axis=(-1, -2))
+                rr = jnp.where(any_nz[:, None, None], rr, 0)
+                predq = (pred.reshape(2, h2, 2, h2).transpose(0, 2, 1, 3)
+                         .reshape(4, h2, h2))
+                rec_q = jnp.clip(predq + rr, 0, 255)
+
+                def untile(t):
+                    return (t.reshape(2, 2, h2, h2).transpose(0, 2, 1, 3)
+                            .reshape(n, n))
+                return untile(lev), untile(rec_q)
             coeff = tx_ops.forward_transform(resid)
             lev = quant_ops.quantize(coeff, qpq, lg2, is_intra=False)
             if sign_hiding:
@@ -278,9 +301,10 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
             rec = jnp.clip(pred + rr, 0, 255)
             return lev, rec
 
+        cmax_tb = 4 if log2 == 6 else 5
         lev_y, rec_y = code(blk, pred_y, qp, log2)
-        lev_u, rec_u = code(blk_u, pred_u, qp_c, log2 - 1)
-        lev_v, rec_v = code(blk_v, pred_v, qp_c, log2 - 1)
+        lev_u, rec_u = code(blk_u, pred_u, qp_c, log2 - 1, cmax_tb)
+        lev_v, rec_v = code(blk_v, pred_v, qp_c, log2 - 1, cmax_tb)
         return dict(mvx=mvx, mvy=mvy, lev_y=lev_y, lev_u=lev_u, lev_v=lev_v,
                     rec_y=rec_y, rec_u=rec_u, rec_v=rec_v)
 
@@ -336,7 +360,13 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
         # leave the device between P frames.
         from ..ops import deblock as dbk
         cbf_blk = jnp.any(lev_y != 0, axis=(-1, -2))
-        bs_v, bs_h = dbk.inter_bs_from_blocks(mvs, cbf_blk, B, xp=jnp)
+        qcbf = None
+        if B == 64:
+            nby, nbx = cbf_blk.shape
+            qcbf = jnp.any(lev_y.reshape(nby, nbx, 2, 32, 2, 32) != 0,
+                           axis=(3, 5))
+        bs_v, bs_h = dbk.inter_bs_from_blocks(mvs, cbf_blk, B, xp=jnp,
+                                              qcbf=qcbf)
         qp_map = jnp.full((H // 4, W // 4), qp, jnp.int32)
         fy, fu, fv = dbk.deblock_frame(rec[0], rec[1], rec[2],
                                        bs_v=bs_v, bs_h=bs_h, qp_map=qp_map,
