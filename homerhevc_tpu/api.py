@@ -63,8 +63,8 @@ class HomerEncoder:
             width=c.width, height=c.height,
             pad_right=self.pw - c.width, pad_bottom=self.ph - c.height,
             ctu_log2=self.ctu_log2,
-            min_cu_log2=(self.intra_b.bit_length() - 1
-                         - (1 if self.intra_split else 0)),
+            min_cu_log2=(3 if self.intra_split
+                         else self.intra_b.bit_length() - 1),
             max_tu_log2=min(5, self.ctu_log2),
             max_tr_depth_intra=0, max_tr_depth_inter=0,
             init_qp=c.qp, sign_hiding=c.sign_hiding,
@@ -145,31 +145,22 @@ class HomerEncoder:
                     out = intra_jax.encode_frame_intra_ctu64(
                         ydev, udev, vdev, qp=qp, sign_hiding=c.sign_hiding,
                         split_rdo=self.intra_split)
-                with self.prof.probe("intra.fetch+maps"):
-                    maps = native_backend.maps_from_intra_ctu64(out)
-                dbk_split = (native_backend.ctu64_to_grid32(
-                    np.asarray(out["split4"])) if self.intra_split else None)
+                depth_offset = 1        # units are relative to 32-containers
             else:
                 with self.prof.probe("intra.device"):
                     out = intra_jax.encode_frame_intra(
                         ydev, udev, vdev,
                         B=ib, qp=qp, sign_hiding=c.sign_hiding,
                         split_rdo=self.intra_split)
-                with self.prof.probe("intra.fetch+maps"):
-                    maps = native_backend.maps_from_intra_grid(
-                        np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
-                        out["lev_v"], ib,
-                        split=(np.asarray(out["split"]) if self.intra_split
-                               else None),
-                        child_modes=(np.asarray(out["child_modes"])
-                                     if self.intra_split else None))
-                dbk_split = out["split"] if self.intra_split else None
+                depth_offset = 0
+            with self.prof.probe("intra.fetch+maps"):
+                maps = native_backend.maps_from_intra_units(
+                    out["mode_units"], out["depth_units"], out["lev_y"],
+                    out["lev_u"], out["lev_v"], depth_offset=depth_offset)
             if deblk:
                 self._ref = p_jax.deblock_intra_device(
                     out["recon_y"], out["recon_u"], out["recon_v"],
-                    B=ib, qp=qp,
-                    split=(None if dbk_split is None
-                           else jnp.asarray(dbk_split)))
+                    B=ib, qp=qp, depth_units=out["depth_units"])
             else:
                 self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
             with self.prof.probe("sao"):

@@ -147,33 +147,16 @@ def _rep_units(a: np.ndarray, un: int) -> np.ndarray:
     return np.repeat(np.repeat(a, un, axis=0), un, axis=1)
 
 
-def maps_from_intra_grid(modes: np.ndarray, lev_y, lev_u, lev_v,
-                         B: int, split: np.ndarray | None = None,
-                         child_modes: np.ndarray | None = None,
-                         depth_offset: int = 0) -> dict:
-    """Vectorized frame maps for the all-intra pipeline (no per-CTU Python
-    objects — the hot path). With split/child_modes (one-level CU quadtree),
-    split blocks carry depth 1 and per-quadrant modes (z-order children)."""
-    un = B // 4
-    uh, uw = modes.shape[0] * un, modes.shape[1] * un
-    if split is None:
-        m8 = _rep_units(modes.astype(np.int8), un)
-        depth8 = np.full((uh, uw), depth_offset, np.int8)
-    else:
-        split = np.asarray(split)
-        cm = np.asarray(child_modes)
-        # (nby, nbx, 2, 2) spatial quadrant modes from z-order children
-        quad = np.stack([np.stack([cm[..., 0], cm[..., 1]], -1),
-                         np.stack([cm[..., 2], cm[..., 3]], -1)], -2)
-        sel = np.where(split[..., None, None], quad,
-                       modes[..., None, None]).astype(np.int8)
-        # expand quadrants to units
-        h = un // 2
-        m8 = (np.repeat(np.repeat(sel, h, axis=2), h, axis=3)
-              .transpose(0, 2, 1, 3).reshape(uh, uw))
-        depth8 = _rep_units(split.astype(np.int8) + depth_offset, un)
+def maps_from_intra_units(mode_units, depth_units, lev_y, lev_u, lev_v,
+                          depth_offset: int = 0) -> dict:
+    """Frame maps directly from the pipelines' unit-granular mode/depth
+    maps (any quadtree depth)."""
+    m8 = np.ascontiguousarray(np.asarray(mode_units), dtype=np.int8)
+    d8 = np.ascontiguousarray(
+        np.asarray(depth_units) + depth_offset).astype(np.int8)
+    uh, uw = m8.shape
     z8 = np.zeros((uh, uw), np.int8)
-    return dict(depth=depth8, luma_mode=m8, chroma_mode=m8, tr_depth=z8,
+    return dict(depth=d8, luma_mode=m8, chroma_mode=m8, tr_depth=z8,
                 merge_idx=z8, mvp_idx=z8,
                 part_nxn=np.zeros((uh, uw), np.uint8),
                 pred_intra=np.ones((uh, uw), np.uint8),
@@ -183,28 +166,6 @@ def maps_from_intra_grid(modes: np.ndarray, lev_y, lev_u, lev_v,
                 coeff_y=_blocks_to_plane(np.asarray(lev_y)),
                 coeff_cb=_blocks_to_plane(np.asarray(lev_u)),
                 coeff_cr=_blocks_to_plane(np.asarray(lev_v)))
-
-
-def ctu64_to_grid32(a4: np.ndarray) -> np.ndarray:
-    """(nby, nbx, 4, ...) z-order 32-children -> (2*nby, 2*nbx, ...)."""
-    nby, nbx = a4.shape[:2]
-    out = np.empty((2 * nby, 2 * nbx) + a4.shape[3:], a4.dtype)
-    out[0::2, 0::2] = a4[:, :, 0]
-    out[0::2, 1::2] = a4[:, :, 1]
-    out[1::2, 0::2] = a4[:, :, 2]
-    out[1::2, 1::2] = a4[:, :, 3]
-    return out
-
-
-def maps_from_intra_ctu64(out: dict) -> dict:
-    """Frame maps for the CTU-64 intra pipeline (z-order 32-children with
-    optional 16-splits): re-expressed as a 32-grid with depth offset 1."""
-    modes32 = ctu64_to_grid32(np.asarray(out["modes4"]))
-    split32 = ctu64_to_grid32(np.asarray(out["split4"]))
-    cm32 = ctu64_to_grid32(np.asarray(out["child_modes4"]))
-    return maps_from_intra_grid(modes32, out["lev_y"], out["lev_u"],
-                                out["lev_v"], 32, split=split32,
-                                child_modes=cm32, depth_offset=1)
 
 
 def maps_from_p_arrays(mvs: np.ndarray, dec: dict, lev_y, lev_u, lev_v,

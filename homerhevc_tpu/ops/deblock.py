@@ -219,6 +219,29 @@ def intra_edge_maps(H: int, W: int, tu_size: int):
     return bs_v, bs_h
 
 
+def intra_bs_from_depth_units(depth_u, xp=np):
+    """bs maps for an all-intra frame from the unit-granular CU/TU depth map
+    (relative to 32-containers: TU size per unit = 32 >> depth, i.e. 32/16/8
+    — all on the 8-pel deblocking grid; intra edges are bS 2)."""
+    uh, uw = depth_u.shape
+    tusz = 32 >> depth_u.astype(xp.int32)             # (uh, uw)
+    posx = (np.arange(uw) * 4).astype(np.int32)
+    posy = (np.arange(uh) * 4).astype(np.int32)
+    startx = (posx[None, :] & (tusz - 1)) == 0        # unit starts a TU (x)
+    starty = (posy[:, None] & (tusz - 1)) == 0
+    bs_v = xp.zeros((uh, uw // 2), xp.int32)
+    vals_v = 2 * startx[:, 2::2].astype(xp.int32)     # unit cols 2,4,...
+    bs_h = xp.zeros((uh // 2, uw), xp.int32)
+    vals_h = 2 * starty[2::2, :].astype(xp.int32)
+    if xp is np:
+        bs_v[:, 1:] = vals_v
+        bs_h[1:, :] = vals_h
+    else:
+        bs_v = bs_v.at[:, 1:].set(vals_v)
+        bs_h = bs_h.at[1:, :].set(vals_h)
+    return bs_v, bs_h
+
+
 def intra_bs_from_split(split_blocks, B: int, xp=np):
     """bs maps for an all-intra frame with a one-level CU quadtree: every
     CTU boundary has bS=2; split CTUs add their internal half-size TU edges

@@ -27,10 +27,13 @@ def quantize(coeff: jax.Array, qp, log2_size: int, *, is_intra: bool,
 
 
 def sign_bit_hiding(levels: jax.Array, coeffs: jax.Array, qp,
-                    log2_size: int, bit_depth: int = 8) -> jax.Array:
-    """Batched JAX twin of golden.sign_bit_hiding for (..., N, N) blocks
-    with diagonal scan (all TB sizes our pipelines emit use SCAN_DIAG).
+                    log2_size: int, bit_depth: int = 8,
+                    scan_idx: int = 0) -> jax.Array:
+    """Batched JAX twin of golden.sign_bit_hiding for (..., N, N) blocks.
 
+    scan_idx selects the coefficient scan (0 diag / 1 hor / 2 ver) — the
+    sign-hiding groups and first/last positions are defined in the TB's
+    ACTUAL scan order (4x4 and 8x8-luma intra TBs use mode-dependent scans).
     Same candidate order (j asc, +1 before -1) and strict-less selection as
     the golden loop, so both pick identical adjustments.
     """
@@ -41,7 +44,7 @@ def sign_bit_hiding(levels: jax.Array, coeffs: jax.Array, qp,
     n = levels.shape[-1]
     log2 = n.bit_length() - 1
     assert log2 == log2_size
-    scan = np.asarray(t.coeff_scan(log2_size, t.SCAN_DIAG))
+    scan = np.asarray(t.coeff_scan(log2_size, scan_idx))
     inv = np.zeros_like(scan)
     inv[scan] = np.arange(scan.size)
 

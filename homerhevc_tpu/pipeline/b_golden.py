@@ -68,7 +68,16 @@ def encode_b_frame(y, u, v, ref0, ref1, *, qp: int, ctu_log2: int = 5,
             r = golden.inverse_transform(golden.dequantize(lev, qpq, lg2))
         else:
             r = np.zeros_like(resid)
-        return lev, np.clip(pred + r, 0, 255).astype(np.uint8)
+        rec = np.clip(pred + r, 0, 255)
+        lamf = int(tables.LAMBDA_FX[qpq])
+        o32 = orig.astype(np.int32)
+        ssd_c = int(((o32 - rec) ** 2).sum())
+        ssd_s = int(((o32 - pred) ** 2).sum())
+        bits = min(int(tables.level_bits_est(lev)), 16383)
+        if not (ssd_c + (((lamf >> 4) * bits) >> 4) < ssd_s):
+            lev = np.zeros_like(lev)
+            rec = pred
+        return lev, rec.astype(np.uint8)
 
     for r in range(nby):
         for c in range(nbx):

@@ -82,7 +82,7 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
         if params is None:
             params = headers.StreamParams(
                 width=w, height=h, ctu_log2=ctu_log2,
-                min_cu_log2=ctu_log2 - (1 if intra_split_rdo else 0),
+                min_cu_log2=3 if intra_split_rdo else ctu_log2,
                 max_tu_log2=min(5, ctu_log2), max_tr_depth_intra=0,
                 max_tr_depth_inter=0, init_qp=qp, sign_hiding=sign_hiding,
                 deblocking_disabled=not deblocking, num_ref_frames=1,
@@ -101,18 +101,13 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                     jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
                     B=size, qp=qp, sign_hiding=sign_hiding,
                     split_rdo=intra_split_rdo)
-                maps = native_backend.maps_from_intra_grid(
-                    np.asarray(out["modes"]), out["lev_y"], out["lev_u"],
-                    out["lev_v"], size,
-                    split=(np.asarray(out["split"]) if intra_split_rdo
-                           else None),
-                    child_modes=(np.asarray(out["child_modes"])
-                                 if intra_split_rdo else None))
+                maps = native_backend.maps_from_intra_units(
+                    out["mode_units"], out["depth_units"], out["lev_y"],
+                    out["lev_u"], out["lev_v"])
                 if deblocking:
                     ref_dev = p_jax.deblock_intra_device(
                         out["recon_y"], out["recon_u"], out["recon_v"],
-                        B=size, qp=qp,
-                        split=(out["split"] if intra_split_rdo else None))
+                        B=size, qp=qp, depth_units=out["depth_units"])
                 else:
                     ref_dev = (out["recon_y"], out["recon_u"], out["recon_v"])
                 sao_info = None

@@ -56,10 +56,9 @@ def _gather_refs(rec, x0, y0, size):
     return top, left, corner
 
 
-def _apply_sbh(levels, coeff, qp, log2, is_intra):
-    """Diagonal-scan SBH fix-up on one spatial TB (all our TB sizes scan
-    diagonally; 4x4/8x8 luma mode-dependent scans would need the mode)."""
-    scan = tables.coeff_scan(log2, tables.SCAN_DIAG)
+def _apply_sbh(levels, coeff, qp, log2, is_intra, scan_idx=0):
+    """SBH fix-up on one spatial TB in its ACTUAL scan order."""
+    scan = tables.coeff_scan(log2, scan_idx)
     ls = levels.reshape(-1)[scan]
     cssc = coeff.reshape(-1)[scan]
     adj = golden.sign_bit_hiding(ls, cssc, qp, log2, is_intra=is_intra)
@@ -132,8 +131,7 @@ def encode_intra_frame(y, u, v, *, qp: int, ctu_log2: int = 5,
                     y, rec_y, x0, y0, size, qp, mode, 0,
                     strong_smoothing=strong_smoothing,
                     sign_hiding=sign_hiding)
-                nz = int(np.count_nonzero(levels))
-                bits = 6 + nz * 4  # rough level-bit proxy for decision only
+                bits = min(int(tables.level_bits_est(levels)), 16383)
                 cost = ssd + (((lam_fx >> 4) * bits) >> 4)
                 if best is None or cost < best[0]:
                     best = (cost, mode, levels, recon)

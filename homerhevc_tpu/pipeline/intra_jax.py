@@ -52,7 +52,18 @@ def _encode_block_all_modes(orig, top, left, corner, has_left, has_top, *,
     coeff = tx_ops.forward_transform(resid, is_dst=is_dst)
     levels = quant_ops.quantize(coeff, qp, log2, is_intra=True)
     if sign_hiding:
-        levels = quant_ops.sign_bit_hiding(levels, coeff, qp, log2)
+        if log2 == 2 or (log2 == 3 and c_idx == 0):
+            # mode-dependent scan (7.4.9.11): SBH parity groups live in the
+            # TB's actual scan order — compute all three, select per mode.
+            lv_d = quant_ops.sign_bit_hiding(levels, coeff, qp, log2, scan_idx=0)
+            lv_h = quant_ops.sign_bit_hiding(levels, coeff, qp, log2, scan_idx=1)
+            lv_v = quant_ops.sign_bit_hiding(levels, coeff, qp, log2, scan_idx=2)
+            md = np.arange(35)
+            ver = jnp.asarray((md >= 6) & (md <= 14))[:, None, None]
+            hor = jnp.asarray((md >= 22) & (md <= 30))[:, None, None]
+            levels = jnp.where(ver, lv_v, jnp.where(hor, lv_h, lv_d))
+        else:
+            levels = quant_ops.sign_bit_hiding(levels, coeff, qp, log2)
     deq = quant_ops.dequantize(levels, qp, log2)
     r = tx_ops.inverse_transform(deq, is_dst=is_dst)
     any_nz = jnp.any(levels != 0, axis=(-1, -2))
@@ -60,10 +71,9 @@ def _encode_block_all_modes(orig, top, left, corner, has_left, has_top, *,
     recon = jnp.clip(preds + r, 0, 255)
     diff = orig[None].astype(I32) - recon
     ssd = jnp.sum(diff * diff, axis=(-1, -2))          # <= 64*64*255^2 < 2^31
-    nz = jnp.sum((levels != 0).astype(I32), axis=(-1, -2))
-    bits = 6 + 4 * nz
+    bits = jnp.minimum(tables.level_bits_est(levels, xp=jnp), 16383)
     # int32-safe fixed-point cost (lam_fx = 256*lambda; split shift so the
-    # product fits int32 even at QP51 with all coeffs nonzero)
+    # product fits int32 even at QP51)
     cost = ssd + (((lam_fx >> 4) * bits) >> 4)
     return levels, recon.astype(I32), cost
 
@@ -108,44 +118,115 @@ def _child_refs(trow_vec, lcol, corner_p, rec, cx, cy, n, has_left, has_top,
 _Z_CHILDREN = ((0, 0), (1, 0), (0, 1), (1, 1))    # (cx_half, cy_half)
 
 
-def _encode_split(orig, trow_vec, lcol, corner_p, x0, W, *, B, c_idx, qp,
-                  lam_fx, has_left, has_top, sign_hiding,
-                  child_modes=None, top_limit=None):
-    """Closed-loop z-order encode of the 4 half-size children of one block.
+def _child_aux(trow_vec, lcol_vec, rec, cx, cy, h, x0, top_limit, n_parent):
+    """(trow_c, lcol_c, x0_c, lim_c) ref materials for a child's own
+    descendants (same construction as the CTU-64 lane, incl. the band
+    clip that replicates rows belonging to later z-order siblings)."""
+    if cy == 0:
+        trow_c, x0_c, lim_c = trow_vec, x0 + cx, top_limit
+    else:
+        trow_c, x0_c, lim_c = rec[cy - 1], cx, None
+    ar = jnp.arange(n_parent)
+    if cx == 0:
+        lcol_c = lcol_vec[jnp.clip(cy + ar, 0, lcol_vec.shape[0] - 1)]
+    else:
+        lcol_c = rec[jnp.clip(cy + ar, 0, cy + h - 1), cx - 1]
+    return trow_c, lcol_c, x0_c, lim_c
 
-    child_modes: None -> each child searches all 35 modes; else (4,) fixed
-    modes (chroma derived-mode case). Returns (modes(4,), lev (B,B),
-    rec (B,B), total_cost).
-    """
-    h = B // 2
-    lev = jnp.zeros((B, B), I32)
-    rec = jnp.zeros((B, B), I32)
-    modes = []
-    total = jnp.asarray(0, jnp.int64)
-    for k, (hx, hy) in enumerate(_Z_CHILDREN):
+
+def _search_unit(o, refs, aux, *, size, min_size, c_idx, qp, lam_fx,
+                 strong_smoothing, sign_hiding):
+    """RD-search one luma CU: whole (all 35 modes) vs the 4 half-size
+    children (recursively), by integer cost. Returns
+    (lev, rec, mode_units, depth_units, cost)."""
+    top, left, corner, hl, ht = refs
+    trow_vec, lcol_vec, x0, top_limit, W = aux
+    lv35, rc35, cost = _encode_block_all_modes(
+        o, top, left, corner, hl, ht, size=size, c_idx=c_idx, qp=qp,
+        lam_fx=lam_fx, strong_smoothing=strong_smoothing and size == 32,
+        sign_hiding=sign_hiding)
+    m = jnp.argmin(cost).astype(I32)
+    lev, rec, cost_w = lv35[m], rc35[m], cost[m]
+    un = size // 4
+    mode_u = jnp.full((un, un), m, I32)
+    depth_u = jnp.zeros((un, un), I32)
+    if size <= min_size:
+        return lev, rec, mode_u, depth_u, cost_w
+
+    h = size // 2
+    lev_s = jnp.zeros((size, size), I32)
+    rec_s = jnp.zeros((size, size), I32)
+    mode_s = jnp.zeros((un, un), I32)
+    depth_s = jnp.zeros((un, un), I32)
+    total = jnp.asarray(0, I32)        # costs < 2^28; 4x sum fits int32
+    for (hx, hy) in _Z_CHILDREN:
         cx, cy = hx * h, hy * h
-        top, left, corner, hl, ht = _child_refs(
-            trow_vec, lcol, corner_p, rec, cx, cy, h, has_left, has_top,
-            x0, W, top_limit)
-        o = jax.lax.dynamic_slice(orig, (cy, cx), (h, h))
-        lv35, rc35, cost = _encode_block_all_modes(
-            o, top, left, corner, hl, ht, size=h, c_idx=c_idx, qp=qp,
-            lam_fx=lam_fx, strong_smoothing=False, sign_hiding=sign_hiding)
-        if child_modes is None:
-            m = jnp.argmin(cost).astype(I32)
-        else:
-            m = child_modes[k]
-        modes.append(m)
-        lev = jax.lax.dynamic_update_slice(lev, lv35[m], (cy, cx))
-        rec = jax.lax.dynamic_update_slice(rec, rc35[m], (cy, cx))
-        total = total + cost[m]
-    return jnp.stack(modes), lev, rec, total
+        refs_c = _child_refs(trow_vec, lcol_vec, corner, rec_s, cx, cy, h,
+                             hl, ht, x0, W, top_limit)
+        aux_c = _child_aux(trow_vec, lcol_vec, rec_s, cx, cy, h, x0,
+                           top_limit, size)
+        oc = jax.lax.dynamic_slice(o, (cy, cx), (h, h))
+        lv_c, rc_c, mu_c, du_c, cost_c = _search_unit(
+            oc, refs_c, aux_c + (W,), size=h, min_size=min_size,
+            c_idx=c_idx, qp=qp, lam_fx=lam_fx,
+            strong_smoothing=strong_smoothing, sign_hiding=sign_hiding)
+        lev_s = jax.lax.dynamic_update_slice(lev_s, lv_c, (cy, cx))
+        rec_s = jax.lax.dynamic_update_slice(rec_s, rc_c, (cy, cx))
+        uy, ux = cy // 4, cx // 4
+        mode_s = jax.lax.dynamic_update_slice(mode_s, mu_c, (uy, ux))
+        depth_s = jax.lax.dynamic_update_slice(depth_s, du_c + 1, (uy, ux))
+        total = total + cost_c
+    total = total + (((lam_fx >> 4) * 14) >> 4)     # split overhead proxy
+    split = total < cost_w
+    return (jnp.where(split, lev_s, lev), jnp.where(split, rec_s, rec),
+            jnp.where(split, mode_s, mode_u),
+            jnp.where(split, depth_s, depth_u),
+            jnp.where(split, total, cost_w))
+
+
+def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
+                 c_idx, qp, lam_fx, sign_hiding):
+    """Chroma CU following the luma quadtree: split iff the co-located luma
+    depth exceeds `depth`; mode = derived (DM) from the co-located luma.
+    f_mode/f_depth are chroma-unit-granular (luma maps subsampled 2x)."""
+    top, left, corner, hl, ht = refs
+    trow_vec, lcol_vec, x0, top_limit, W = aux
+    m = f_mode[0, 0]
+    lv35, rc35, _ = _encode_block_all_modes(
+        o, top, left, corner, hl, ht, size=size, c_idx=c_idx, qp=qp,
+        lam_fx=lam_fx, strong_smoothing=False, sign_hiding=sign_hiding)
+    lev, rec = lv35[m], rc35[m]
+    if size <= min_size:
+        return lev, rec
+
+    h = size // 2
+    lev_s = jnp.zeros((size, size), I32)
+    rec_s = jnp.zeros((size, size), I32)
+    for (hx, hy) in _Z_CHILDREN:
+        cx, cy = hx * h, hy * h
+        refs_c = _child_refs(trow_vec, lcol_vec, corner, rec_s, cx, cy, h,
+                             hl, ht, x0, W, top_limit)
+        aux_c = _child_aux(trow_vec, lcol_vec, rec_s, cx, cy, h, x0,
+                           top_limit, size)
+        oc = jax.lax.dynamic_slice(o, (cy, cx), (h, h))
+        hu = h // 4
+        fm_c = jax.lax.dynamic_slice(f_mode, (cy // 4, cx // 4), (hu, hu))
+        fd_c = jax.lax.dynamic_slice(f_depth, (cy // 4, cx // 4), (hu, hu))
+        lv_c, rc_c = _follow_unit(
+            oc, refs_c, aux_c + (W,), fm_c, fd_c, size=h, depth=depth + 1,
+            min_size=min_size, c_idx=c_idx, qp=qp, lam_fx=lam_fx,
+            sign_hiding=sign_hiding)
+        lev_s = jax.lax.dynamic_update_slice(lev_s, lv_c, (cy, cx))
+        rec_s = jax.lax.dynamic_update_slice(rec_s, rc_c, (cy, cx))
+    split = f_depth[0, 0] > depth
+    return jnp.where(split, lev_s, lev), jnp.where(split, rec_s, rec)
 
 
 def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
              strong_smoothing, sign_hiding=False, split_rdo=False,
              ctu64=False):
-    """Process block (r, c=d-2r) of the diagonal (one vmap lane)."""
+    """Process block (r, c=d-2r) of the diagonal (one vmap lane): one
+    B-sized container searched as a CU quadtree down to 8 (split_rdo)."""
     y_pad, u_pad, v_pad = planes
     bot_y, right_y, bot_u, right_u, bot_v, right_v = state
     B2 = B // 2
@@ -163,9 +244,9 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
         tr_ok = jnp.logical_or(r % 2 == 0, cc % 2 == 0)
     else:
         tr_ok = jnp.asarray(True)
+    rm1 = jnp.maximum(r - 1, 0)
 
     def refs_for(bot, right, x0, n, w):
-        rm1 = jnp.maximum(r - 1, 0)
         trow = bot[rm1]                       # (w,)
         lim = jnp.where(tr_ok, w - 1, x0 + n - 1)
         xs = jnp.clip(x0 + jnp.arange(2 * n), 0, lim)
@@ -173,66 +254,40 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
         lcol = right[r]                       # (n,)
         left = jnp.concatenate([lcol, jnp.full((n,), 1, lcol.dtype) * lcol[n - 1]])
         corner = trow[jnp.clip(x0 - 1, 0, w - 1)]
-        return top.astype(I32), left.astype(I32), corner.astype(I32)
+        return (top.astype(I32), left.astype(I32), corner.astype(I32),
+                trow, lcol.astype(I32), lim)
 
-    # ---- luma, CU = B (no split) ----
+    # ---- luma CU quadtree ----
     x0 = cc * B
     orig = jax.lax.dynamic_slice(y_pad, (r * B, x0), (B, B))
-    top, left, corner = refs_for(bot_y, right_y, x0, B, W)
-    levels35, recon35, cost = _encode_block_all_modes(
-        orig, top, left, corner, has_left, has_top,
-        size=B, c_idx=0, qp=qp, lam_fx=lam,
-        strong_smoothing=strong_smoothing, sign_hiding=sign_hiding)
-    mode = jnp.argmin(cost).astype(I32)
-    lev_y = levels35[mode]
-    rec_y = recon35[mode]
-    cost_whole = cost[mode]
+    top, left, corner, trow_y, lcol_y, lim_y = refs_for(bot_y, right_y, x0,
+                                                        B, W)
+    min_luma = 8 if split_rdo else B
+    lev_y, rec_y, mode_u, depth_u, _ = _search_unit(
+        orig.astype(I32), (top, left, corner, has_left, has_top),
+        (trow_y, lcol_y, x0, lim_y, W), size=B, min_size=min_luma,
+        c_idx=0, qp=qp, lam_fx=lam, strong_smoothing=strong_smoothing,
+        sign_hiding=sign_hiding)
 
+    # ---- chroma: follows the luma quadtree with derived modes ----
     cx0 = cc * B2
-    split = jnp.asarray(False)
-    child_modes = jnp.full((4,), mode, I32)
-    if split_rdo:
-        # ---- luma split into 4 half-size CUs (z-order, closed loop) ----
-        rm1 = jnp.maximum(r - 1, 0)
-        trow_y = bot_y[rm1]
-        lcol_y = right_y[r]
-        lim_y = jnp.where(tr_ok, W - 1, x0 + B - 1)
-        cmodes, lev_s, rec_s, cost_split = _encode_split(
-            orig, trow_y, lcol_y, corner, x0, W, B=B, c_idx=0, qp=qp,
-            lam_fx=lam, has_left=has_left, has_top=has_top,
-            sign_hiding=sign_hiding, top_limit=lim_y)
-        # split flag + 3 extra mode signalings, rough proxy
-        cost_split = cost_split + (((lam >> 4) * 14) >> 4)
-        split = cost_split < cost_whole
-        lev_y = jnp.where(split, lev_s, lev_y)
-        rec_y = jnp.where(split, rec_s, rec_y)
-        child_modes = jnp.where(split, cmodes, child_modes)
+    f_mode = mode_u[::2, ::2]
+    f_depth = depth_u[::2, ::2]
 
-    # ---- chroma (derived mode; split follows luma) ----
     def chroma(plane, bot, right, c_idx, qpc):
-        o = jax.lax.dynamic_slice(plane, (r * B2, cx0), (B2, B2))
-        t, l, co = refs_for(bot, right, cx0, B2, W2)
-        lv35, rc35, _ = _encode_block_all_modes(
-            o, t, l, co, has_left, has_top, size=B2, c_idx=c_idx, qp=qpc,
-            lam_fx=lam_c, strong_smoothing=False, sign_hiding=sign_hiding)
-        lv, rc = lv35[mode], rc35[mode]
-        if split_rdo:
-            rm1 = jnp.maximum(r - 1, 0)
-            lim_c = jnp.where(tr_ok, W2 - 1, cx0 + B2 - 1)
-            _, lv_s, rc_s, _ = _encode_split(
-                o, bot[rm1], right[r], co, cx0, W2, B=B2, c_idx=c_idx,
-                qp=qpc, lam_fx=lam_c, has_left=has_left, has_top=has_top,
-                sign_hiding=sign_hiding, child_modes=child_modes,
-                top_limit=lim_c)
-            lv = jnp.where(split, lv_s, lv)
-            rc = jnp.where(split, rc_s, rc)
-        return lv, rc
+        o = jax.lax.dynamic_slice(plane, (r * B2, cx0), (B2, B2)).astype(I32)
+        t, l, co, trow_c, lcol_c, lim_c = refs_for(bot, right, cx0, B2, W2)
+        return _follow_unit(
+            o, (t, l, co, has_left, has_top),
+            (trow_c, lcol_c, cx0, lim_c, W2), f_mode, f_depth, size=B2,
+            depth=0, min_size=(4 if split_rdo else B2), c_idx=c_idx, qp=qpc,
+            lam_fx=lam_c, sign_hiding=sign_hiding)
 
     lev_u, rec_u = chroma(u_pad, bot_u, right_u, 1, qp_c)
     lev_v, rec_v = chroma(v_pad, bot_v, right_v, 2, qp_c)
 
-    return dict(valid=valid, cc=cc, mode=mode, split=split,
-                child_modes=child_modes,
+    return dict(valid=valid, cc=cc, mode=mode_u[0, 0],
+                mode_u=mode_u, depth_u=depth_u,
                 lev_y=lev_y, rec_y=rec_y, lev_u=lev_u, rec_u=rec_u,
                 lev_v=lev_v, rec_v=rec_v)
 
@@ -241,7 +296,9 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
                strong_smoothing, sign_hiding=False, split_rdo=False):
     """CTU-64 lane: one 64-CTU per step; its four 32-blocks run z-order
     sequentially (exact decoder availability, including the left CTU's BR
-    samples feeding the TL block's below-left references)."""
+    samples feeding the TL block's below-left references). Each 32-block is
+    a full CU quadtree search (32/16/8); chroma follows with derived
+    modes."""
     y_pad, u_pad, v_pad = planes
     bot_y, right_y, bot_u, right_u, bot_v, right_v = state
     B, B2 = 64, 32
@@ -251,94 +308,68 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
     cc = jnp.clip(c, 0, nbx - 1)
     has_top = r > 0
     has_left = cc > 0
-    x064 = cc * B
-    cx064 = cc * B2
     rm1 = jnp.maximum(r - 1, 0)
 
-    def encode_comp(plane, bot, right, csize, c_idx, qpq, lamq):
-        """One component's 64-CTU (luma csize 32 children; chroma 16)."""
-        n64 = 2 * csize                  # container size (64 luma, 32 chroma)
-        trow = bot[rm1]
-        lcol = right[r]                  # (n64,)
-        x0 = (cc * n64)
-        w = W if c_idx == 0 else W // 2
-        corner64 = trow[jnp.clip(x0 - 1, 0, w - 1)]
-        orig = jax.lax.dynamic_slice(plane, (r * n64, x0), (n64, n64))
-        rec = jnp.zeros((n64, n64), I32)
-        lev = jnp.zeros((n64, n64), I32)
-        modes = []
-        splits = []
-        cmodes_all = []
-        for k, (hx, hy) in enumerate(_Z_CHILDREN):
-            cx, cy = hx * csize, hy * csize
-            top, left, corner, hl, ht = _child_refs(
-                trow, lcol, corner64, rec, cx, cy, csize, has_left, has_top,
-                x0, w)
-            o = jax.lax.dynamic_slice(orig, (cy, cx), (csize, csize))
-            lv35, rc35, cost = _encode_block_all_modes(
-                o, top, left, corner, hl, ht, size=csize, c_idx=c_idx,
-                qp=qpq, lam_fx=lamq,
-                strong_smoothing=strong_smoothing and c_idx == 0,
-                sign_hiding=sign_hiding)
-            if c_idx == 0:
-                m = jnp.argmin(cost).astype(I32)
-            else:
-                m = modes_luma[k]        # derived mode (closure)
-            lv, rc = lv35[m], rc35[m]
-            cost_whole = cost[m]
-            split_k = jnp.asarray(False)
-            cmodes_k = jnp.full((4,), m, I32)
-            if split_rdo:
-                # child-level refs for the half-size split
-                if cy == 0:
-                    trow_c, x0c = trow, x0 + cx
-                else:
-                    trow_c, x0c = rec[cy - 1], cx
-                if cx == 0:
-                    # left CTU column: fully coded, whole height valid
-                    lcol_c = lcol[jnp.clip(cy + jnp.arange(n64), 0, n64 - 1)]
-                else:
-                    # internal column: rows below this child belong to a
-                    # later z-order sibling -> replicate the last valid row
-                    lcol_c = rec[jnp.clip(cy + jnp.arange(n64), 0,
-                                          cy + csize - 1), cx - 1]
-                lim_c = (w - 1) if cy == 0 else None
-                if c_idx == 0:
-                    cm, lv_s, rc_s, cost_s = _encode_split(
-                        o, trow_c, lcol_c, corner, x0c, w, B=csize,
-                        c_idx=0, qp=qpq, lam_fx=lamq, has_left=hl,
-                        has_top=ht, sign_hiding=sign_hiding,
-                        top_limit=lim_c)
-                    cost_s = cost_s + (((lamq >> 4) * 14) >> 4)
-                    split_k = cost_s < cost_whole
-                    cmodes_k = jnp.where(split_k, cm, cmodes_k)
-                else:
-                    cm, lv_s, rc_s, _ = _encode_split(
-                        o, trow_c, lcol_c, corner, x0c, w, B=csize,
-                        c_idx=c_idx, qp=qpq, lam_fx=lamq, has_left=hl,
-                        has_top=ht, sign_hiding=sign_hiding,
-                        child_modes=cmodes_luma[k], top_limit=lim_c)
-                    split_k = splits_luma[k]
-                lv = jnp.where(split_k, lv_s, lv)
-                rc = jnp.where(split_k, rc_s, rc)
-            lev = jax.lax.dynamic_update_slice(lev, lv, (cy, cx))
-            rec = jax.lax.dynamic_update_slice(rec, rc, (cy, cx))
-            modes.append(m)
-            splits.append(split_k)
-            cmodes_all.append(cmodes_k)
-        return (lev, rec, jnp.stack(modes), jnp.stack(splits),
-                jnp.stack(cmodes_all))
+    # ---- luma: 4 z-order 32-CU quadtrees ----
+    trow = bot_y[rm1]
+    lcol = right_y[r]                    # (64,)
+    x064 = cc * B
+    corner64 = trow[jnp.clip(x064 - 1, 0, W - 1)]
+    orig = jax.lax.dynamic_slice(y_pad, (r * B, x064), (B, B)).astype(I32)
+    rec = jnp.zeros((B, B), I32)
+    lev = jnp.zeros((B, B), I32)
+    mode_u = jnp.zeros((16, 16), I32)
+    depth_u = jnp.zeros((16, 16), I32)
+    min_luma = 8 if split_rdo else 32
+    for (hx, hy) in _Z_CHILDREN:
+        cx, cy = hx * 32, hy * 32
+        refs_c = _child_refs(trow, lcol, corner64, rec, cx, cy, 32,
+                             has_left, has_top, x064, W)
+        aux_c = _child_aux(trow, lcol, rec, cx, cy, 32, x064, None, B)
+        oc = jax.lax.dynamic_slice(orig, (cy, cx), (32, 32))
+        lv, rc, mu, du, _ = _search_unit(
+            oc, refs_c, aux_c + (W,), size=32, min_size=min_luma, c_idx=0,
+            qp=qp, lam_fx=lam, strong_smoothing=strong_smoothing,
+            sign_hiding=sign_hiding)
+        lev = jax.lax.dynamic_update_slice(lev, lv, (cy, cx))
+        rec = jax.lax.dynamic_update_slice(rec, rc, (cy, cx))
+        mode_u = jax.lax.dynamic_update_slice(mode_u, mu, (cy // 4, cx // 4))
+        depth_u = jax.lax.dynamic_update_slice(depth_u, du, (cy // 4, cx // 4))
+    lev_y, rec_y = lev, rec
 
-    lev_y, rec_y, modes_luma, splits_luma, cmodes_luma = encode_comp(
-        y_pad.astype(I32), bot_y, right_y, 32, 0, qp, lam)
-    lev_u, rec_u, _, _, _ = encode_comp(u_pad.astype(I32), bot_u, right_u,
-                                        16, 1, qp_c, lam_c)
-    lev_v, rec_v, _, _, _ = encode_comp(v_pad.astype(I32), bot_v, right_v,
-                                        16, 2, qp_c, lam_c)
+    # ---- chroma: 4 z-order 16-containers following luma ----
+    def chroma(plane, bot, right, c_idx, qpc):
+        trow_c = bot[rm1]
+        lcol_c = right[r]                # (32,)
+        cx064 = cc * B2
+        corner_c = trow_c[jnp.clip(cx064 - 1, 0, W // 2 - 1)]
+        o64 = jax.lax.dynamic_slice(plane, (r * B2, cx064),
+                                    (B2, B2)).astype(I32)
+        recc = jnp.zeros((B2, B2), I32)
+        levc = jnp.zeros((B2, B2), I32)
+        for (hx, hy) in _Z_CHILDREN:
+            cx, cy = hx * 16, hy * 16
+            refs_c = _child_refs(trow_c, lcol_c, corner_c, recc, cx, cy, 16,
+                                 has_left, has_top, cx064, W // 2)
+            aux_c = _child_aux(trow_c, lcol_c, recc, cx, cy, 16, cx064,
+                               None, B2)
+            oc = jax.lax.dynamic_slice(o64, (cy, cx), (16, 16))
+            fm = jax.lax.dynamic_slice(mode_u[::2, ::2], (cy // 4, cx // 4),
+                                       (4, 4))
+            fd = jax.lax.dynamic_slice(depth_u[::2, ::2], (cy // 4, cx // 4),
+                                       (4, 4))
+            lv, rc = _follow_unit(
+                oc, refs_c, aux_c + (W // 2,), fm, fd, size=16, depth=0,
+                min_size=(4 if split_rdo else 16), c_idx=c_idx, qp=qpc,
+                lam_fx=lam_c, sign_hiding=sign_hiding)
+            levc = jax.lax.dynamic_update_slice(levc, lv, (cy, cx))
+            recc = jax.lax.dynamic_update_slice(recc, rc, (cy, cx))
+        return levc, recc
 
-    return dict(valid=valid, cc=cc, mode=modes_luma[0],
-                modes4=modes_luma, split4=splits_luma,
-                child_modes4=cmodes_luma,
+    lev_u, rec_u = chroma(u_pad, bot_u, right_u, 1, qp_c)
+    lev_v, rec_v = chroma(v_pad, bot_v, right_v, 2, qp_c)
+
+    return dict(valid=valid, cc=cc, mode_u=mode_u, depth_u=depth_u,
                 lev_y=lev_y, rec_y=rec_y, lev_u=lev_u, rec_u=rec_u,
                 lev_v=lev_v, rec_v=rec_v)
 
@@ -354,12 +385,12 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
     """Encode one padded frame all-intra with CU = TU = B.
 
     qp may be a python int or traced scalar (rate control varies it per
-    frame without recompiling). split_rdo adds a one-level CU quadtree:
-    each B-block also evaluates 4 closed-loop half-size CUs (all 35 modes
-    each) and splits when cheaper — the dense-per-depth evaluation +
+    frame without recompiling). split_rdo enables the recursive CU quadtree
+    down to 8x8 luma (4x4 chroma): every level evaluates all 35 modes
+    closed-loop and splits when cheaper — the dense-per-depth evaluation +
     masked-select form of the reference's recursive mode decision
     (hmr_motion_intra.c:1759-1990). Returns dict of: modes (nby,nbx),
-    split (nby,nbx), child_modes (nby,nbx,4), levels + chroma, recon
+    frame-level mode/depth unit maps, levels + chroma, recon
     planes.
     """
     H, W = y_pad.shape
@@ -377,9 +408,8 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         bot_y=jnp.zeros((nby, W), I32), right_y=jnp.zeros((nby, B), I32),
         bot_u=jnp.zeros((nby, W // 2), I32), right_u=jnp.zeros((nby, B2), I32),
         bot_v=jnp.zeros((nby, W // 2), I32), right_v=jnp.zeros((nby, B2), I32),
-        modes=jnp.zeros((nby, nbx), I32),
-        split=jnp.zeros((nby, nbx), bool),
-        child_modes=jnp.zeros((nby, nbx, 4), I32),
+        mode_u=jnp.zeros((nby, nbx, B // 4, B // 4), I32),
+        depth_u=jnp.zeros((nby, nbx, B // 4, B // 4), I32),
         lev_y=jnp.zeros((nby, nbx, B, B), I32),
         lev_u=jnp.zeros((nby, nbx, B2, B2), I32),
         lev_v=jnp.zeros((nby, nbx, B2, B2), I32),
@@ -416,14 +446,8 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         x0s = cc * B
         cx0s = cc * B2
         st = dict(st)
-        st["modes"] = st["modes"].at[rs, cc].set(
-            jnp.where(v, outs["mode"], st["modes"][rs, cc]))
-        st["split"] = st["split"].at[rs, cc].set(
-            jnp.where(v, outs["split"], st["split"][rs, cc]))
-        st["child_modes"] = st["child_modes"].at[rs, cc].set(
-            jnp.where(v[:, None], outs["child_modes"],
-                      st["child_modes"][rs, cc]))
-        for key in ("lev_y", "rec_y", "lev_u", "rec_u", "lev_v", "rec_v"):
+        for key in ("mode_u", "depth_u", "lev_y", "rec_y", "lev_u", "rec_u",
+                    "lev_v", "rec_v"):
             st[key] = scatter_blocks(st[key], outs[key])
         st["bot_y"] = scatter_row(st["bot_y"], outs["rec_y"][:, -1, :], x0s, B)
         st["bot_u"] = scatter_row(st["bot_u"], outs["rec_u"][:, -1, :], cx0s, B2)
@@ -440,7 +464,9 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         return blocks.transpose(0, 2, 1, 3).reshape(nby * n, nbx * n)
 
     return dict(
-        modes=st["modes"], split=st["split"], child_modes=st["child_modes"],
+        modes=st["mode_u"][:, :, 0, 0],
+        mode_units=blocks_to_plane(st["mode_u"], B // 4),
+        depth_units=blocks_to_plane(st["depth_u"], B // 4),
         lev_y=st["lev_y"], lev_u=st["lev_u"], lev_v=st["lev_v"],
         recon_y=blocks_to_plane(st["rec_y"], B).astype(jnp.uint8),
         recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),
@@ -455,8 +481,8 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
                              sign_hiding: bool = False,
                              split_rdo: bool = False):
     """All-intra frame with 64-CTUs: wavefront over 64-CTU anti-diagonals,
-    z-order 32-blocks (optionally 16-split) inside each lane. Returns the
-    per-CTU z-order arrays modes4/split4/child_modes4."""
+    z-order 32-blocks inside each lane, each RD-searched as a CU quadtree
+    down to 8 (split_rdo). Returns frame-level mode/depth unit maps."""
     H, W = y_pad.shape
     B, B2 = 64, 32
     nby, nbx = H // B, W // B
@@ -471,9 +497,8 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
         bot_y=jnp.zeros((nby, W), I32), right_y=jnp.zeros((nby, B), I32),
         bot_u=jnp.zeros((nby, W // 2), I32), right_u=jnp.zeros((nby, B2), I32),
         bot_v=jnp.zeros((nby, W // 2), I32), right_v=jnp.zeros((nby, B2), I32),
-        modes4=jnp.zeros((nby, nbx, 4), I32),
-        split4=jnp.zeros((nby, nbx, 4), bool),
-        child_modes4=jnp.zeros((nby, nbx, 4, 4), I32),
+        mode_u=jnp.zeros((nby, nbx, 16, 16), I32),
+        depth_u=jnp.zeros((nby, nbx, 16, 16), I32),
         lev_y=jnp.zeros((nby, nbx, B, B), I32),
         lev_u=jnp.zeros((nby, nbx, B2, B2), I32),
         lev_v=jnp.zeros((nby, nbx, B2, B2), I32),
@@ -506,14 +531,8 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
                 jnp.where(v[:, None], new_bottom, old))
 
         st = dict(st)
-        st["modes4"] = st["modes4"].at[rs, cc].set(
-            jnp.where(v[:, None], outs["modes4"], st["modes4"][rs, cc]))
-        st["split4"] = st["split4"].at[rs, cc].set(
-            jnp.where(v[:, None], outs["split4"], st["split4"][rs, cc]))
-        st["child_modes4"] = st["child_modes4"].at[rs, cc].set(
-            jnp.where(v[:, None, None], outs["child_modes4"],
-                      st["child_modes4"][rs, cc]))
-        for key in ("lev_y", "rec_y", "lev_u", "rec_u", "lev_v", "rec_v"):
+        for key in ("mode_u", "depth_u", "lev_y", "rec_y", "lev_u", "rec_u",
+                    "lev_v", "rec_v"):
             st[key] = scatter_blocks(st[key], outs[key])
         st["bot_y"] = scatter_row(st["bot_y"], outs["rec_y"][:, -1, :],
                                   cc * B, B)
@@ -536,8 +555,8 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
         return blocks.transpose(0, 2, 1, 3).reshape(nby * n, nbx * n)
 
     return dict(
-        modes4=st["modes4"], split4=st["split4"],
-        child_modes4=st["child_modes4"],
+        mode_units=blocks_to_plane(st["mode_u"], 16),
+        depth_units=blocks_to_plane(st["depth_u"], 16),
         lev_y=st["lev_y"], lev_u=st["lev_u"], lev_v=st["lev_v"],
         recon_y=blocks_to_plane(st["rec_y"], B).astype(jnp.uint8),
         recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),

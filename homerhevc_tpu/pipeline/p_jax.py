@@ -266,6 +266,21 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
         blk_u = jax.lax.dynamic_slice(u_pad.astype(I32), (cy0, cx0), (B2, B2))
         blk_v = jax.lax.dynamic_slice(v_pad.astype(I32), (cy0, cx0), (B2, B2))
 
+        lam_full_t = jnp.asarray(tables.LAMBDA_FX)
+
+        def rd_zero(orig, pred, lev, rec, qpq):
+            # skip-vs-code RD (role of the reference's zero-cbf-vs-coded SSD
+            # decision, hmr_motion_inter.c:106/:209): drop the residual when
+            # prediction-only costs less in D + lambda*R.
+            lamf = lam_full_t[qpq]
+            ssd_c = jnp.sum((orig - rec) * (orig - rec), axis=(-1, -2))
+            ssd_s = jnp.sum((orig - pred) * (orig - pred), axis=(-1, -2))
+            bits = jnp.minimum(tables.level_bits_est(lev, xp=jnp), 16383)
+            keep = ssd_c + (((lamf >> 4) * bits) >> 4) < ssd_s
+            keep_b = keep[..., None, None] if lev.ndim > 2 else keep
+            return (jnp.where(keep_b, lev, 0),
+                    jnp.where(keep_b, rec, pred))
+
         def code(orig, pred, qpq, lg2, max_tb=5):
             resid = orig - pred
             n = 1 << lg2
@@ -285,7 +300,10 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
                 rr = jnp.where(any_nz[:, None, None], rr, 0)
                 predq = (pred.reshape(2, h2, 2, h2).transpose(0, 2, 1, 3)
                          .reshape(4, h2, h2))
+                origq = (orig.reshape(2, h2, 2, h2).transpose(0, 2, 1, 3)
+                         .reshape(4, h2, h2))
                 rec_q = jnp.clip(predq + rr, 0, 255)
+                lev, rec_q = rd_zero(origq, predq, lev, rec_q, qpq)
 
                 def untile(t):
                     return (t.reshape(2, 2, h2, h2).transpose(0, 2, 1, 3)
@@ -299,6 +317,7 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
             any_nz = jnp.any(lev != 0)
             rr = jnp.where(any_nz, rr, 0)
             rec = jnp.clip(pred + rr, 0, 255)
+            lev, rec = rd_zero(orig, pred, lev, rec, qpq)
             return lev, rec
 
         cmax_tb = 4 if log2 == 6 else 5
@@ -378,17 +397,18 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
 
 
 @functools.partial(jax.jit, static_argnames=("B",))
-def deblock_intra_device(rec_y, rec_u, rec_v, *, B: int, qp, split=None):
-    """On-device deblocking of an all-intra frame. `split` (nby, nbx) bool
-    marks CTUs coded as four half-size CUs (adds their internal TU edges);
+def deblock_intra_device(rec_y, rec_u, rec_v, *, B: int, qp,
+                         depth_units=None):
+    """On-device deblocking of an all-intra frame. `depth_units` is the
+    unit-granular CU depth map relative to 32-containers (TU = 32 >> depth);
     None = uniform CU=TU=B grid."""
     from ..ops import deblock as dbk
     H, W = rec_y.shape
-    if split is None:
+    if depth_units is None:
         bs_v, bs_h = dbk.intra_edge_maps(H, W, min(B, 32))
         bs_v, bs_h = jnp.asarray(bs_v), jnp.asarray(bs_h)
     else:
-        bs_v, bs_h = dbk.intra_bs_from_split(split, B, xp=jnp)
+        bs_v, bs_h = dbk.intra_bs_from_depth_units(depth_units, xp=jnp)
     qp_map = jnp.full((H // 4, W // 4), jnp.asarray(qp, jnp.int32))
     fy, fu, fv = dbk.deblock_frame(rec_y.astype(jnp.int32),
                                    rec_u.astype(jnp.int32),

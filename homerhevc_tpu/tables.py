@@ -199,6 +199,23 @@ def chroma_qp_from_luma(qp_i, xp=np):
     return out
 
 
+def level_bits_est(levels, xp=np, axes=(-1, -2)):
+    """Integer CABAC-bit estimate for a quantized TB: ~3 bits per nonzero
+    plus ~2 bits per magnitude doubling, + 16 overhead (role of the
+    reference's EE/EC counter duality for RD costing,
+    hmr_binary_encoding.c:306-551 — a closed-form proxy instead of running
+    the context counter per candidate).
+
+    Pure integer (14 shift-compares), so numpy and JAX agree bit-exactly.
+    """
+    a = xp.abs(levels)
+    nz = (a > 0).astype(xp.int32)
+    bl = xp.zeros_like(nz)
+    for k in range(1, 15):
+        bl = bl + ((a >> k) > 0).astype(xp.int32)
+    return (3 * nz + 2 * bl).sum(axis=axes) + 16
+
+
 # RD lambda (HM formula 0.57 * 2^((qp-12)/3)) in x256 fixed point, and its
 # sqrt (SAD-domain ME lambda) — indexed by QP so traced-QP device code can
 # gather instead of recompiling per QP.
