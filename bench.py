@@ -31,10 +31,16 @@ def main():
     N_WARM, N_BENCH = 2, 16
     frames = list(synth_clip(W, H, N_WARM + N_BENCH, seed=0))
 
+    from homerhevc_tpu.config import PerformanceMode
+
+    # FASTEST: the timed window is all-P (intra RDO depth only affects the
+    # untimed warm IDR, but its one-off device compile is large — keep the
+    # bench turnaround bounded).
     cfg = EncoderConfig(width=W, height=H, qp=QP, cu_size=32,
                         intra_period=100, sign_hiding=True,
                         sample_adaptive_offset=True, deblocking=True,
-                        me_search_range=16)
+                        me_search_range=16,
+                        performance_mode=PerformanceMode.FASTEST_COMPUTATION)
     enc = HomerEncoder(cfg, backend="jax")
 
     total_bytes = 0

@@ -54,6 +54,10 @@ class HomerEncoder:
         self.ctu64 = c.ctu_size == 64
         self.intra_split = (c.performance_mode
                             != PerformanceMode.FASTEST_COMPUTATION)
+        # FULL/FAST: P frames RD-search the inter CU quadtree (CTU..16);
+        # FASTER/FASTEST: fixed CU = CTU grid (the Pallas fast path).
+        self.inter_split = (c.performance_mode
+                            <= PerformanceMode.FAST_COMPUTATION)
         if self.ctu64 and backend != "jax":
             raise ValueError("cu_size=64 requires the jax backend "
                              "(z-order intra availability)")
@@ -169,6 +173,10 @@ class HomerEncoder:
                 au = assemble.assemble_idr_au_from_maps(
                     self.params, maps, slice_qp=qp,
                     include_parameter_sets=(self.poc == 0), sao_info=sao_info)
+        elif self.inter_split:
+            au = self._encode_p_tree(yp, up, vp, qp)
+            if au is None:       # scene cut: re-encode as IDR
+                return self._encode_jax(yp, up, vp, True, qp)
         else:
             with self.prof.probe("p.device"):
                 out = p_jax.p_frame_device(
@@ -221,6 +229,63 @@ class HomerEncoder:
         else:
             recon = None
         return au, recon
+
+    # ------------------------------------------------------------------
+    def _encode_p_tree(self, yp, up, vp, qp):
+        """P frame through the inter CU quadtree device stage. Returns the
+        AU, or None on a detected scene cut (caller re-encodes as IDR)."""
+        from .entropy import native_backend
+        from .ops.inter_golden import derive_tree_decisions
+        from .pipeline import p_jax
+
+        c = self.cfg
+        ctu = 1 << self.ctu_log2
+        deblk = c.deblocking
+        ydev, udev, vdev = self._cur_dev
+        with self.prof.probe("p.device"):
+            out = p_jax.p_frame_tree_device(
+                ydev, udev, vdev, *self._ref, ctu=ctu, qp=qp,
+                search=c.me_search_range,
+                me_precision=int(c.motion_estimation_precision),
+                deblock=deblk, sign_hiding=c.sign_hiding)
+        uh, uw = self.ph // 4, self.pw // 4
+        nby, nbx = self.ph // ctu, self.pw // ctu
+        with self.prof.probe("p.fetch"):
+            meta = np.asarray(out["meta_packed"])
+            o = 0
+            depth_u = meta[o:o + uh * uw].reshape(uh, uw); o += uh * uw
+            mv_u = meta[o:o + uh * uw * 2].reshape(uh, uw, 2); o += uh * uw * 2
+            nz_u = meta[o:o + uh * uw].reshape(uh, uw).astype(bool)
+            o += uh * uw
+            sad = meta[o:].reshape(nby, nbx)
+        if c.reinit_gop_on_scene_change:
+            ms = float(sad.astype(np.int64).mean())
+            if ms / (ctu * ctu) > SCENE_SAD_PER_PIXEL:
+                self._scene_idr = True
+                if self._rc:
+                    self._rc.on_scene_change()
+                return None
+        with self.prof.probe("p.fetch"):
+            packed = np.asarray(out["lev_packed"])
+            npix = self.ph * self.pw
+            lev_yp = packed[:npix].reshape(self.ph, self.pw)
+            lev_up = packed[npix:npix + npix // 4].reshape(self.ph // 2,
+                                                           self.pw // 2)
+            lev_vp = packed[npix + npix // 4:].reshape(self.ph // 2,
+                                                       self.pw // 2)
+        with self.prof.probe("p.decisions+maps"):
+            dec, _ = derive_tree_decisions(depth_u, mv_u, nz_u,
+                                           self.ctu_log2, 5)
+            maps = native_backend.maps_from_p_units(depth_u, dec, lev_yp,
+                                                    lev_up, lev_vp)
+        key = "ref" if deblk else "recon"
+        self._ref = (out[key + "_y"], out[key + "_u"], out[key + "_v"])
+        with self.prof.probe("sao"):
+            sao_info = self._maybe_sao(yp, up, vp, qp)
+        with self.prof.probe("entropy"):
+            return assemble.assemble_p_au_from_maps(
+                self.params, maps, poc=self.poc - self.last_idr,
+                slice_qp=qp, sao_info=sao_info)
 
     # ------------------------------------------------------------------
     def _encode_golden(self, yp, up, vp, is_idr, qp):

@@ -168,6 +168,29 @@ def maps_from_intra_units(mode_units, depth_units, lev_y, lev_u, lev_v,
                 coeff_cr=_blocks_to_plane(np.asarray(lev_v)))
 
 
+def maps_from_p_units(depth_u, dec: dict, coeff_y, coeff_cb,
+                      coeff_cr) -> dict:
+    """Frame maps for a quadtree-coded P slice: depth_u and the per-unit
+    decision arrays from ops.inter_golden.derive_tree_decisions; coeff
+    planes are already frame-level."""
+    uh, uw = depth_u.shape
+    z8 = np.zeros((uh, uw), np.int8)
+    return dict(depth=np.ascontiguousarray(depth_u, np.int8),
+                luma_mode=np.ones((uh, uw), np.int8),
+                chroma_mode=np.ones((uh, uw), np.int8),
+                tr_depth=z8,
+                part_nxn=np.zeros((uh, uw), np.uint8),
+                pred_intra=np.zeros((uh, uw), np.uint8),
+                skip=dec["skip"].astype(np.uint8),
+                merge_flag=dec["merge"].astype(np.uint8),
+                merge_idx=dec["merge_idx"].astype(np.int8),
+                mvp_idx=dec["mvp_idx"].astype(np.int8),
+                mvd=np.ascontiguousarray(dec["mvd"], np.int32),
+                coeff_y=np.ascontiguousarray(coeff_y, np.int32),
+                coeff_cb=np.ascontiguousarray(coeff_cb, np.int32),
+                coeff_cr=np.ascontiguousarray(coeff_cr, np.int32))
+
+
 def maps_from_p_arrays(mvs: np.ndarray, dec: dict, lev_y, lev_u, lev_v,
                        B: int) -> dict:
     """Vectorized frame maps for the all-inter CU-grid P pipeline."""

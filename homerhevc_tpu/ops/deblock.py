@@ -219,6 +219,51 @@ def intra_edge_maps(H: int, W: int, tu_size: int):
     return bs_v, bs_h
 
 
+def inter_bs_from_units(depth_u, mv_u, cbf_u, ctu_log2: int, xp=np):
+    """bs maps for a P frame coded as a variable-depth inter CU quadtree
+    (spec 8.7.2.4 reduced to the all-inter one-reference case).
+
+    depth_u (uh, uw) absolute CU depth per 4x4 unit; mv_u (uh, uw, 2)
+    quarter-pel MV per unit; cbf_u (uh, uw) bool per-unit luma TB cbf.
+    TU = min(CU, 32) (the implicit 64-CU split), and PU == CU, so TU
+    starts cover every CU/PU edge. bs = 1 on an edge when either TB has
+    coefficients or the MVs differ by >= one luma sample (4 qpel).
+    """
+    uh, uw = depth_u.shape
+    cusz = (1 << ctu_log2) >> depth_u.astype(xp.int32)
+    tusz = xp.minimum(cusz, 32)
+    posx = (np.arange(uw) * 4).astype(np.int32)
+    posy = (np.arange(uh) * 4).astype(np.int32)
+    startx = (posx[None, :] & (tusz - 1)) == 0
+    starty = (posy[:, None] & (tusz - 1)) == 0
+
+    def bs_at(edge, l_idx, r_idx, axis):
+        if axis == 1:            # vertical edges: left/right units
+            mvl, mvr = mv_u[:, l_idx], mv_u[:, r_idx]
+            cl, cr = cbf_u[:, l_idx], cbf_u[:, r_idx]
+        else:                    # horizontal edges: above/below units
+            mvl, mvr = mv_u[l_idx, :], mv_u[r_idx, :]
+            cl, cr = cbf_u[l_idx, :], cbf_u[r_idx, :]
+        mvdiff = ((abs(mvl[..., 0] - mvr[..., 0]) >= 4)
+                  | (abs(mvl[..., 1] - mvr[..., 1]) >= 4))
+        return xp.where(edge & (cl | cr | mvdiff), 1, 0).astype(xp.int32)
+
+    # vertical edges at luma cols 8, 16, ... -> unit cols 2, 4, ...
+    cols = np.arange(2, uw, 2)
+    vals_v = bs_at(startx[:, cols], cols - 1, cols, axis=1)
+    bs_v = xp.zeros((uh, uw // 2), xp.int32)
+    rows = np.arange(2, uh, 2)
+    vals_h = bs_at(starty[rows, :], rows - 1, rows, axis=0)
+    bs_h = xp.zeros((uh // 2, uw), xp.int32)
+    if xp is np:
+        bs_v[:, 1:] = vals_v
+        bs_h[1:, :] = vals_h
+    else:
+        bs_v = bs_v.at[:, 1:].set(vals_v)
+        bs_h = bs_h.at[1:, :].set(vals_h)
+    return bs_v, bs_h
+
+
 def intra_bs_from_depth_units(depth_u, xp=np):
     """bs maps for an all-intra frame from the unit-granular CU/TU depth map
     (relative to 32-containers: TU size per unit = 32 >> depth, i.e. 32/16/8

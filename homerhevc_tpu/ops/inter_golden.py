@@ -170,6 +170,69 @@ def derive_block_decisions(mvs: np.ndarray, has_resid: np.ndarray, size: int,
                 mvp_idx=mvp_idx, mvd=mvd), fld
 
 
+def derive_tree_decisions(depth_u: np.ndarray, mv_u: np.ndarray,
+                          has_resid_u: np.ndarray, ctu_log2: int,
+                          max_merge_cand: int = 5):
+    """Sequential host walk over a variable-depth inter CU quadtree.
+
+    depth_u (uh, uw) absolute CU depth per 4x4 unit, mv_u (uh, uw, 2)
+    chosen quarter-pel MV per unit (constant over each CU), has_resid_u
+    (uh, uw) bool (any nonzero level in the CU). Walks CTUs in raster
+    order and CUs in z-order — the decoder's decode order — deriving
+    merge/skip/AMVP exactly as derive_block_decisions does per CU.
+
+    Returns (dict of per-unit arrays, MotionField).
+    """
+    uh, uw = depth_u.shape
+    H, W = uh * 4, uw * 4
+    ctu = 1 << ctu_log2
+    fld = MotionField(uh, uw)
+    skip_u = np.zeros((uh, uw), bool)
+    merge_u = np.zeros((uh, uw), bool)
+    midx_u = np.zeros((uh, uw), np.int8)
+    mvp_u = np.zeros((uh, uw), np.int8)
+    mvd_u = np.zeros((uh, uw, 2), np.int32)
+
+    def leaf(x0, y0, size):
+        ux, uy = x0 // 4, y0 // 4
+        un = size // 4
+        mvx = int(mv_u[uy, ux, 0])
+        mvy = int(mv_u[uy, ux, 1])
+        hr = bool(has_resid_u[uy:uy + un, ux:ux + un].any())
+        mcands = merge_candidates(fld, x0, y0, size, max_merge_cand)
+        mi = next((i for i, cd in enumerate(mcands)
+                   if cd == (mvx, mvy, 0)), -1)
+        if mi >= 0:
+            merge_u[uy:uy + un, ux:ux + un] = True
+            midx_u[uy:uy + un, ux:ux + un] = mi
+            skip_u[uy:uy + un, ux:ux + un] = not hr
+        else:
+            amvp = amvp_candidates(fld, x0, y0, size)
+            b0 = mv_bits_fx(mvx - amvp[0][0], mvy - amvp[0][1])
+            b1 = mv_bits_fx(mvx - amvp[1][0], mvy - amvp[1][1])
+            k = 0 if b0 <= b1 else 1
+            mvp_u[uy:uy + un, ux:ux + un] = k
+            mvd_u[uy:uy + un, ux:ux + un] = (mvx - amvp[k][0],
+                                             mvy - amvp[k][1])
+        fld.set_cu(x0, y0, size, (mvx, mvy), 0)
+
+    def walk(x0, y0, size, depth):
+        if x0 >= W or y0 >= H:
+            return
+        if int(depth_u[y0 // 4, x0 // 4]) > depth:
+            h = size // 2
+            for (dx, dy) in ((0, 0), (h, 0), (0, h), (h, h)):  # z-order
+                walk(x0 + dx, y0 + dy, h, depth + 1)
+            return
+        leaf(x0, y0, size)
+
+    for y0 in range(0, H, ctu):
+        for x0 in range(0, W, ctu):
+            walk(x0, y0, ctu, 0)
+    return dict(skip=skip_u, merge=merge_u, merge_idx=midx_u,
+                mvp_idx=mvp_u, mvd=mvd_u), fld
+
+
 def derive_block_decisions_fast(mvs: np.ndarray, has_resid: np.ndarray,
                                 size: int, max_merge_cand: int = 5):
     """Vectorized twin of derive_block_decisions for the all-inter CU-grid

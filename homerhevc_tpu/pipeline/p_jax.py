@@ -138,34 +138,36 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
                          me_precision=me_precision, sign_hiding=sign_hiding)
 
 
-def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
-                  B, qp, qp_c, lam, search, me_precision, sign_hiding):
-    """Subpel refinement + MC + residual coding, shared by the Pallas and
-    XLA integer-search front ends."""
+def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
+                  lam, search, me_precision, sign_hiding):
+    """Subpel refinement + MC + residual coding for every S-sized block of
+    the frame (one vmap lane per block). Returns per-block arrays plus an
+    integer RD cost (luma SSD + lambda*(level-bits-est + mv bits)) used by
+    the quadtree split decision. Size-generic: S in {16, 32, 64}."""
     H, W = cur.shape
-    nby, nbx = H // B, W // B
-    B2 = B // 2
-    log2 = B.bit_length() - 1
+    nby, nbx = H // S, W // S
+    S2 = S // 2
+    log2 = S.bit_length() - 1
 
-    # ---------------- per-block subpel + MC + residual ----------------
     bits_q = jnp.asarray(_bits_tab(4 * search + 8), I32)
     qp_idx = [(qy, qx) for qy in range(-3, 4) for qx in range(-3, 4)]
+    lam_full_t = jnp.asarray(tables.LAMBDA_FX)
 
     rs = jnp.arange(nby * nbx, dtype=I32)
 
-    def lane(bi, state):
+    def lane(bi):
         r = bi // nbx
         c = bi % nbx
-        y0 = r * B
-        x0 = c * B
+        y0 = r * S
+        x0 = c * S
         vy = ivy[r, c]
         vx = ivx[r, c]
-        blk = jax.lax.dynamic_slice(cur, (y0, x0), (B, B))
+        blk = jax.lax.dynamic_slice(cur, (y0, x0), (S, S))
 
-        # (B+9, B+9) support window around the integer-best position.
+        # (S+9, S+9) support window around the integer-best position.
         win = jax.lax.dynamic_slice(ry, (y0 + vy - 4 + PAD, x0 + vx - 4 + PAD),
-                                    (B + 9, B + 9))
-        G = B + 2                                   # qpel grid spatial extent
+                                    (S + 9, S + 9))
+        G = S + 2                                   # qpel grid spatial extent
         # horizontal passes (shared across fy)
         hraw = [win[:, 3:3 + G]]
         for fx in (1, 2, 3):
@@ -192,7 +194,7 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
         for qy, qx in qp_idx:
             fy, fx = qy & 3, qx & 3
             iy, ix = qy >> 2, qx >> 2
-            pred = gstack[fy * 4 + fx, 1 + iy:1 + iy + B, 1 + ix:1 + ix + B]
+            pred = gstack[fy * 4 + fx, 1 + iy:1 + iy + S, 1 + ix:1 + ix + S]
             sad = jnp.abs(blk - pred).sum()
             mvx_t = 4 * vx + qx
             mvy_t = 4 * vy + qy
@@ -229,44 +231,42 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
         plane = jax.lax.dynamic_index_in_dim(gstack, fy * 4 + fx, 0,
                                              keepdims=False)
         pred_y = jax.lax.dynamic_slice(plane, (1 + (qy >> 2), 1 + (qx >> 2)),
-                                       (B, B))
+                                       (S, S))
 
         # ---- chroma MC: all 64 frac planes, select (fy, fx) ----
         def chroma_pred(refp, cy0, cx0):
             wc = jax.lax.dynamic_slice(
                 refp, (cy0 + (mvy >> 3) + PAD // 2 - 1,
-                       cx0 + (mvx >> 3) + PAD // 2 - 1), (B2 + 3, B2 + 3))
+                       cx0 + (mvx >> 3) + PAD // 2 - 1), (S2 + 3, S2 + 3))
             cfy, cfx = mvy & 7, mvx & 7
-            hs = [wc[:, 1:1 + B2]]
+            hs = [wc[:, 1:1 + S2]]
             for f in range(1, 8):
                 hs.append(interp._filt_h(jnp, wc, interp.CHROMA_FILTERS[f], 4))
             outs = []
             for gy in range(8):
                 for gx in range(8):
                     if gy == 0 and gx == 0:
-                        outs.append(wc[1:1 + B2, 1:1 + B2])
+                        outs.append(wc[1:1 + S2, 1:1 + S2])
                     elif gy == 0:
-                        outs.append(jnp.clip((hs[gx][1:1 + B2] + 32) >> 6, 0, 255))
+                        outs.append(jnp.clip((hs[gx][1:1 + S2] + 32) >> 6, 0, 255))
                     elif gx == 0:
-                        vv = interp._filt_v(jnp, wc[:, 1:1 + B2],
+                        vv = interp._filt_v(jnp, wc[:, 1:1 + S2],
                                             interp.CHROMA_FILTERS[gy], 4)
                         outs.append(jnp.clip((vv + 32) >> 6, 0, 255))
                     else:
                         vv = interp._filt_v(jnp, hs[gx],
                                             interp.CHROMA_FILTERS[gy], 4) >> 6
                         outs.append(jnp.clip((vv + 32) >> 6, 0, 255))
-            st = jnp.stack(outs)                    # (64, B2, B2)
+            st = jnp.stack(outs)                    # (64, S2, S2)
             return jax.lax.dynamic_index_in_dim(st, cfy * 8 + cfx, 0,
                                                 keepdims=False)
 
-        cy0 = r * B2
-        cx0 = c * B2
+        cy0 = r * S2
+        cx0 = c * S2
         pred_u = chroma_pred(ru, cy0, cx0)
         pred_v = chroma_pred(rv, cy0, cx0)
-        blk_u = jax.lax.dynamic_slice(u_pad.astype(I32), (cy0, cx0), (B2, B2))
-        blk_v = jax.lax.dynamic_slice(v_pad.astype(I32), (cy0, cx0), (B2, B2))
-
-        lam_full_t = jnp.asarray(tables.LAMBDA_FX)
+        blk_u = jax.lax.dynamic_slice(u_pad.astype(I32), (cy0, cx0), (S2, S2))
+        blk_v = jax.lax.dynamic_slice(v_pad.astype(I32), (cy0, cx0), (S2, S2))
 
         def rd_zero(orig, pred, lev, rec, qpq):
             # skip-vs-code RD (role of the reference's zero-cbf-vs-coded SSD
@@ -324,22 +324,48 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
         lev_y, rec_y = code(blk, pred_y, qp, log2)
         lev_u, rec_u = code(blk_u, pred_u, qp_c, log2 - 1, cmax_tb)
         lev_v, rec_v = code(blk_v, pred_v, qp_c, log2 - 1, cmax_tb)
+
+        # node RD cost for the quadtree split decision
+        lamf = lam_full_t[qp]
+        bits_lv = jnp.minimum(tables.level_bits_est(lev_y, xp=jnp)
+                              .sum(), 16383)
+        mvb = bits_q[jnp.abs(mvx)] + bits_q[jnp.abs(mvy)]
+        ssd = jnp.sum((blk - rec_y) * (blk - rec_y))
+        cost = ssd + (((lamf >> 4) * (bits_lv + mvb + 6)) >> 4)
         return dict(mvx=mvx, mvy=mvy, lev_y=lev_y, lev_u=lev_u, lev_v=lev_v,
-                    rec_y=rec_y, rec_u=rec_u, rec_v=rec_v)
+                    rec_y=rec_y, rec_u=rec_u, rec_v=rec_v, cost=cost)
 
-    outs = jax.vmap(lambda bi: lane(bi, None))(rs)
+    outs = jax.vmap(lane)(rs)
+    out = {}
+    for k in ("lev_y", "rec_y"):
+        out[k] = outs[k].reshape(nby, nbx, S, S)
+    for k in ("lev_u", "lev_v", "rec_u", "rec_v"):
+        out[k] = outs[k].reshape(nby, nbx, S2, S2)
+    for k in ("mvx", "mvy", "cost"):
+        out[k] = outs[k].reshape(nby, nbx)
+    return out
 
-    def to_plane(blocks, nb):
-        return (blocks.reshape(nby, nbx, nb, nb)
-                .transpose(0, 2, 1, 3).reshape(nby * nb, nbx * nb))
 
-    mvs = jnp.stack([outs["mvx"], outs["mvy"]], -1).reshape(nby, nbx, 2)
-    lev_y = outs["lev_y"].reshape(nby, nbx, B, B)
-    rec = (to_plane(outs["rec_y"], B), to_plane(outs["rec_u"], B2),
-           to_plane(outs["rec_v"], B2))
+def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
+                  B, qp, qp_c, lam, search, me_precision, sign_hiding):
+    """Subpel refinement + MC + residual coding, shared by the Pallas and
+    XLA integer-search front ends (fixed CU = B grid)."""
+    H, W = cur.shape
+    nby, nbx = H // B, W // B
+    B2 = B // 2
+    e = _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, S=B, qp=qp,
+                      qp_c=qp_c, lam=lam, search=search,
+                      me_precision=me_precision, sign_hiding=sign_hiding)
+
+    def to_plane(blocks):
+        nb = blocks.shape[-1]
+        return blocks.transpose(0, 2, 1, 3).reshape(nby * nb, nbx * nb)
+
+    mvs = jnp.stack([e["mvx"], e["mvy"]], -1)
+    lev_y = e["lev_y"]
     ly16 = lev_y.astype(jnp.int16)
-    lu16 = outs["lev_u"].reshape(nby, nbx, B2, B2).astype(jnp.int16)
-    lv16 = outs["lev_v"].reshape(nby, nbx, B2, B2).astype(jnp.int16)
+    lu16 = e["lev_u"].astype(jnp.int16)
+    lv16 = e["lev_v"].astype(jnp.int16)
     return dict(
         mvs=mvs,
         sad=best_cost,            # best integer ME cost (scene-change signal)
@@ -350,10 +376,197 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
                                     lv16.reshape(-1)]),
         meta_packed=jnp.concatenate([mvs.reshape(-1),
                                      best_cost.reshape(-1)]),
+        recon_y=to_plane(e["rec_y"]).astype(jnp.uint8),
+        recon_u=to_plane(e["rec_u"]).astype(jnp.uint8),
+        recon_v=to_plane(e["rec_v"]).astype(jnp.uint8),
+    )
+
+
+def _sad_grids(cur16, ry, *, S, search):
+    """Full SAD grid per S-block: (n*n, H//S, W//S), dy-major offset order
+    (identical raster semantics to the fixed-grid search)."""
+    H, W = cur16.shape
+    nby, nbx = H // S, W // S
+    n = 2 * search + 1
+
+    def step(_, dyi):
+        row_band = jax.lax.dynamic_slice(ry, (PAD - search + dyi, 0),
+                                         (H, W + 2 * PAD))
+
+        def sad_dx(dxi):
+            shifted = jax.lax.dynamic_slice(
+                row_band, (0, PAD - search + dxi), (H, W)).astype(jnp.int16)
+            d = jnp.abs(cur16 - shifted)
+            return d.reshape(nby, S, nbx, S).astype(I32).sum(axis=(1, 3))
+
+        return None, jax.vmap(sad_dx)(jnp.arange(n, dtype=I32))
+
+    _, g = jax.lax.scan(step, None, jnp.arange(n, dtype=I32))
+    return g.reshape(n * n, nby, nbx)               # (nn, nby, nbx)
+
+
+def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
+                  search: int, me_precision: int, sign_hiding: bool):
+    """Inter CU quadtree P stage (CTU -> ... -> 16, PU = TU = CU).
+
+    TPU-first hierarchical ME: ONE 16-granular SAD grid sweep; parent
+    levels are 2x2 sum-pools of the child grids (SAD additivity), so the
+    64/32 searches are nearly free. Every level is then subpel-refined and
+    residual-coded batched, and the split choice is a dense masked select —
+    the whole-frame generalisation of the reference's per-CU recursive
+    motion_inter decision (hmr_motion_inter.c:2471-2604)."""
+    H, W = y_pad.shape
+    qp = jnp.asarray(qp, I32)
+    qp_c = tables.chroma_qp_from_luma(qp, xp=jnp)
+    lam = jnp.asarray(tables.LAMBDA_ME_FX)[qp]
+    lamf = jnp.asarray(tables.LAMBDA_FX)[qp]
+    cur = y_pad.astype(I32)
+    n = 2 * search + 1
+    bits1 = _bits_tab(4 * search)[np.abs(4 * np.arange(-search, search + 1))]
+    bits2 = jnp.asarray(bits1[:, None] + bits1[None, :], I32)
+    mvcost = ((lam * bits2) >> 8).reshape(-1)       # (n*n,) dy-major
+
+    grids = {16: _sad_grids(cur.astype(jnp.int16), ry, S=16, search=search)}
+    S = 32
+    while S <= ctu:
+        prev = grids[S // 2]
+        nn, py, px = prev.shape
+        grids[S] = prev.reshape(nn, py // 2, 2, px // 2, 2).sum(axis=(2, 4))
+        S *= 2
+
+    enc = {}
+    for S in grids:
+        cost = grids[S] + mvcost[:, None, None]
+        k = jnp.argmin(cost, axis=0).astype(I32)    # first min, dy-major
+        icost = jnp.take_along_axis(cost, k[None], axis=0)[0]
+        ivy = k // n - search
+        ivx = k % n - search
+        enc[S] = _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx,
+                               S=S, qp=qp, qp_c=qp_c, lam=lam, search=search,
+                               me_precision=me_precision,
+                               sign_hiding=sign_hiding)
+        enc[S]["icost"] = icost
+
+    def sum4(a):
+        py, px = a.shape
+        return a.reshape(py // 2, 2, px // 2, 2).sum(axis=(1, 3))
+
+    ov = ((lamf >> 4) * 10) >> 4                    # split overhead proxy
+    c16s = sum4(enc[16]["cost"]) + ov
+    split32 = c16s < enc[32]["cost"]
+    c32eff = jnp.where(split32, c16s, enc[32]["cost"])
+    if ctu == 64:
+        c32s = sum4(c32eff) + ov
+        split64 = c32s < enc[64]["cost"]
+
+    def upu(a, S):                                  # block grid -> unit grid
+        r = S // 4
+        return jnp.repeat(jnp.repeat(a, r, axis=0), r, axis=1)
+
+    if ctu == 64:
+        m64 = upu(split64, 64)
+        m32 = upu(split32, 32)
+        depth_u = jnp.where(~m64, 0, jnp.where(~m32, 1, 2)).astype(I32)
+    else:
+        depth_u = jnp.where(upu(split32, 32), 1, 0).astype(I32)
+
+    def mv_units(e, S):
+        return jnp.stack([upu(e["mvx"], S), upu(e["mvy"], S)], -1)
+
+    def cbf_units(e, S):
+        lv = e["lev_y"]
+        if S == 64:                                 # TU = 32 inside a 64 CU
+            nby, nbx = lv.shape[:2]
+            c = jnp.any(lv.reshape(nby, nbx, 2, 32, 2, 32) != 0, axis=(3, 5))
+            c = c.transpose(0, 2, 1, 3).reshape(nby * 2, nbx * 2)
+            return upu(c, 32)
+        return upu(jnp.any(lv != 0, axis=(-1, -2)), S)
+
+    def sel_u(vals):                                # {S: unit arr} by depth
+        if ctu == 64:
+            out = jnp.where((depth_u == 0) if vals[64].ndim == 2
+                            else (depth_u == 0)[..., None], vals[64], vals[32])
+            return jnp.where((depth_u <= 1) if vals[16].ndim == 2
+                             else (depth_u <= 1)[..., None], out, vals[16])
+        return jnp.where((depth_u == 0) if vals[32].ndim == 2
+                         else (depth_u == 0)[..., None], vals[32], vals[16])
+
+    mv_u = sel_u({S: mv_units(e, S) for S, e in enc.items()})
+    cbf_u = sel_u({S: cbf_units(e, S) for S, e in enc.items()})
+
+    def to_plane(blocks):
+        nby, nbx, nb, _ = blocks.shape
+        return blocks.transpose(0, 2, 1, 3).reshape(nby * nb, nbx * nb)
+
+    def sel_plane(key, sub):                        # sub: 4 luma, 2 chroma
+        d_px = jnp.repeat(jnp.repeat(depth_u, sub, axis=0), sub, axis=1)
+        ps = {S: to_plane(e[key]) for S, e in enc.items()}
+        if ctu == 64:
+            out = jnp.where(d_px == 0, ps[64], ps[32])
+            return jnp.where(d_px <= 1, out, ps[16])
+        return jnp.where(d_px == 0, ps[32], ps[16])
+
+    lev_yp = sel_plane("lev_y", 4)
+    lev_up = sel_plane("lev_u", 2)
+    lev_vp = sel_plane("lev_v", 2)
+    rec = (sel_plane("rec_y", 4), sel_plane("rec_u", 2),
+           sel_plane("rec_v", 2))
+
+    # per-unit any-nonzero (Y | Cb | Cr) for the host's skip derivation
+    uh, uw = H // 4, W // 4
+    nz_y = jnp.any(lev_yp.reshape(uh, 4, uw, 4) != 0, axis=(1, 3))
+    nz_u = jnp.any(lev_up.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
+    nz_v = jnp.any(lev_vp.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
+    nz = (nz_y | nz_u | nz_v).astype(I32)
+
+    ly16 = lev_yp.astype(jnp.int16)
+    lu16 = lev_up.astype(jnp.int16)
+    lv16 = lev_vp.astype(jnp.int16)
+    return dict(
+        depth_u=depth_u, mv_u=mv_u, cbf_u=cbf_u,
+        sad=enc[ctu]["icost"],
+        lev_y=ly16, lev_u=lu16, lev_v=lv16,
+        lev_packed=jnp.concatenate([ly16.reshape(-1), lu16.reshape(-1),
+                                    lv16.reshape(-1)]),
+        meta_packed=jnp.concatenate([depth_u.reshape(-1), mv_u.reshape(-1),
+                                     nz.reshape(-1),
+                                     enc[ctu]["icost"].reshape(-1)]),
         recon_y=rec[0].astype(jnp.uint8),
         recon_u=rec[1].astype(jnp.uint8),
         recon_v=rec[2].astype(jnp.uint8),
     )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ctu", "search", "me_precision",
+                                    "deblock", "sign_hiding"))
+def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
+                        ctu: int, qp, search: int, me_precision: int,
+                        deblock: bool = False, sign_hiding: bool = False):
+    """Quadtree P frame, all device: hierarchical ME + per-level coding +
+    split select (+ on-device deblock of the selected reconstruction)."""
+    H, W = y_pad.shape
+    ry = jnp.pad(ref_y.astype(I32), PAD, mode="edge")
+    ru = jnp.pad(ref_u.astype(I32), PAD // 2, mode="edge")
+    rv = jnp.pad(ref_v.astype(I32), PAD // 2, mode="edge")
+    result = _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, ctu=ctu, qp=qp,
+                           search=search, me_precision=me_precision,
+                           sign_hiding=sign_hiding)
+    if deblock:
+        from ..ops import deblock as dbk
+        ctu_log2 = ctu.bit_length() - 1
+        bs_v, bs_h = dbk.inter_bs_from_units(
+            result["depth_u"], result["mv_u"], result["cbf_u"],
+            ctu_log2, xp=jnp)
+        qp_map = jnp.full((H // 4, W // 4), qp, jnp.int32)
+        fy, fu, fv = dbk.deblock_frame(
+            result["recon_y"].astype(I32), result["recon_u"].astype(I32),
+            result["recon_v"].astype(I32),
+            bs_v=bs_v, bs_h=bs_h, qp_map=qp_map, xp=jnp)
+        result["ref_y"] = fy.astype(jnp.uint8)
+        result["ref_u"] = fu.astype(jnp.uint8)
+        result["ref_v"] = fv.astype(jnp.uint8)
+    return result
 
 
 @functools.partial(jax.jit,
