@@ -41,7 +41,7 @@ def main():
                         sample_adaptive_offset=True, deblocking=True,
                         me_search_range=16,
                         performance_mode=PerformanceMode.FASTEST_COMPUTATION)
-    enc = HomerEncoder(cfg, backend="jax")
+    enc = HomerEncoder(cfg, backend="jax", fetch_recon=False)
 
     total_bytes = 0
     for f in frames[:N_WARM]:

@@ -187,7 +187,12 @@ class HomerEncoder:
                     deblock=deblk, sign_hiding=c.sign_hiding)
             with self.prof.probe("p.fetch"):
                 nby, nbx = self.ph // size, self.pw // size
-                meta = np.asarray(out["meta_packed"])
+                B2 = size // 2
+                ny = nby * nbx * size * size
+                nc = nby * nbx * B2 * B2
+                wire = np.asarray(out["wire"])       # ONE fetch RPC
+                meta = np.ascontiguousarray(
+                    wire[ny + 2 * nc:]).view(np.int32)
                 mvs = meta[:nby * nbx * 2].reshape(nby, nbx, 2)
                 sad = meta[nby * nbx * 2:].reshape(nby, nbx)
             if c.reinit_gop_on_scene_change:
@@ -200,14 +205,9 @@ class HomerEncoder:
                     if self._rc:
                         self._rc.on_scene_change()
                     return self._encode_jax(yp, up, vp, True, qp)
-            with self.prof.probe("p.fetch"):
-                B2 = size // 2
-                packed = np.asarray(out["lev_packed"])
-                ny = nby * nbx * size * size
-                nc = nby * nbx * B2 * B2
-                lev_y = packed[:ny].reshape(nby, nbx, size, size)
-                lev_u = packed[ny:ny + nc].reshape(nby, nbx, B2, B2)
-                lev_v = packed[ny + nc:].reshape(nby, nbx, B2, B2)
+            lev_y = wire[:ny].reshape(nby, nbx, size, size)
+            lev_u = wire[ny:ny + nc].reshape(nby, nbx, B2, B2)
+            lev_v = wire[ny + nc:ny + 2 * nc].reshape(nby, nbx, B2, B2)
             with self.prof.probe("p.decisions+maps"):
                 has_resid = (np.any(lev_y, axis=(-1, -2))
                              | np.any(lev_u, axis=(-1, -2))
@@ -250,8 +250,11 @@ class HomerEncoder:
                 deblock=deblk, sign_hiding=c.sign_hiding)
         uh, uw = self.ph // 4, self.pw // 4
         nby, nbx = self.ph // ctu, self.pw // ctu
+        npix = self.ph * self.pw
         with self.prof.probe("p.fetch"):
-            meta = np.asarray(out["meta_packed"])
+            wire = np.asarray(out["wire"])           # ONE fetch RPC
+            meta = np.ascontiguousarray(
+                wire[npix + npix // 2:]).view(np.int32)
             o = 0
             depth_u = meta[o:o + uh * uw].reshape(uh, uw); o += uh * uw
             mv_u = meta[o:o + uh * uw * 2].reshape(uh, uw, 2); o += uh * uw * 2
@@ -265,14 +268,11 @@ class HomerEncoder:
                 if self._rc:
                     self._rc.on_scene_change()
                 return None
-        with self.prof.probe("p.fetch"):
-            packed = np.asarray(out["lev_packed"])
-            npix = self.ph * self.pw
-            lev_yp = packed[:npix].reshape(self.ph, self.pw)
-            lev_up = packed[npix:npix + npix // 4].reshape(self.ph // 2,
-                                                           self.pw // 2)
-            lev_vp = packed[npix + npix // 4:].reshape(self.ph // 2,
-                                                       self.pw // 2)
+        lev_yp = wire[:npix].reshape(self.ph, self.pw)
+        lev_up = wire[npix:npix + npix // 4].reshape(self.ph // 2,
+                                                     self.pw // 2)
+        lev_vp = wire[npix + npix // 4:npix + npix // 2].reshape(
+            self.ph // 2, self.pw // 2)
         with self.prof.probe("p.decisions+maps"):
             dec, _ = derive_tree_decisions(depth_u, mv_u, nz_u,
                                            self.ctu_log2, 5)

@@ -366,16 +366,21 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
     ly16 = lev_y.astype(jnp.int16)
     lu16 = e["lev_u"].astype(jnp.int16)
     lv16 = e["lev_v"].astype(jnp.int16)
+    meta_packed = jnp.concatenate([mvs.reshape(-1), best_cost.reshape(-1)])
+    lev_packed = jnp.concatenate([ly16.reshape(-1), lu16.reshape(-1),
+                                  lv16.reshape(-1)])
     return dict(
         mvs=mvs,
         sad=best_cost,            # best integer ME cost (scene-change signal)
         lev_y=ly16, lev_u=lu16, lev_v=lv16,
-        # one contiguous buffer so the host fetches levels in a single RPC
-        # (the tunnel's per-transfer latency dominates small fetches)
-        lev_packed=jnp.concatenate([ly16.reshape(-1), lu16.reshape(-1),
-                                    lv16.reshape(-1)]),
-        meta_packed=jnp.concatenate([mvs.reshape(-1),
-                                     best_cost.reshape(-1)]),
+        lev_packed=lev_packed,
+        meta_packed=meta_packed,
+        # ONE buffer for everything the host needs per P frame -> a single
+        # fetch RPC (the tunnel's per-transfer latency dominates)
+        wire=jnp.concatenate([
+            lev_packed,
+            jax.lax.bitcast_convert_type(meta_packed,
+                                         jnp.int16).reshape(-1)]),
         recon_y=to_plane(e["rec_y"]).astype(jnp.uint8),
         recon_u=to_plane(e["rec_u"]).astype(jnp.uint8),
         recon_v=to_plane(e["rec_v"]).astype(jnp.uint8),
@@ -522,15 +527,21 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
     ly16 = lev_yp.astype(jnp.int16)
     lu16 = lev_up.astype(jnp.int16)
     lv16 = lev_vp.astype(jnp.int16)
+    lev_packed = jnp.concatenate([ly16.reshape(-1), lu16.reshape(-1),
+                                  lv16.reshape(-1)])
+    meta_packed = jnp.concatenate([depth_u.reshape(-1), mv_u.reshape(-1),
+                                   nz.reshape(-1),
+                                   enc[ctu]["icost"].reshape(-1)])
     return dict(
         depth_u=depth_u, mv_u=mv_u, cbf_u=cbf_u,
         sad=enc[ctu]["icost"],
         lev_y=ly16, lev_u=lu16, lev_v=lv16,
-        lev_packed=jnp.concatenate([ly16.reshape(-1), lu16.reshape(-1),
-                                    lv16.reshape(-1)]),
-        meta_packed=jnp.concatenate([depth_u.reshape(-1), mv_u.reshape(-1),
-                                     nz.reshape(-1),
-                                     enc[ctu]["icost"].reshape(-1)]),
+        lev_packed=lev_packed,
+        meta_packed=meta_packed,
+        wire=jnp.concatenate([
+            lev_packed,
+            jax.lax.bitcast_convert_type(meta_packed,
+                                         jnp.int16).reshape(-1)]),
         recon_y=rec[0].astype(jnp.uint8),
         recon_u=rec[1].astype(jnp.uint8),
         recon_v=rec[2].astype(jnp.uint8),
