@@ -328,14 +328,25 @@ def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
 
     @functools.partial(jax.jit, static_argnames=("ctu",))
     def stats(oy, ry, ou, ru, ov, rv, ctu):
-        return (_stats_device_one(oy, ry, ctu, jnp)
-                + _stats_device_one(ou, ru, ctu // 2, jnp)
-                + _stats_device_one(ov, rv, ctu // 2, jnp))
+        # ONE flat (288, nby, nbx) tensor -> a single fetch RPC (the tunnel's
+        # per-transfer latency dominates the 12 small stat tensors)
+        parts = (_stats_device_one(oy, ry, ctu, jnp)
+                 + _stats_device_one(ou, ru, ctu // 2, jnp)
+                 + _stats_device_one(ov, rv, ctu // 2, jnp))
+        nby, nbx = parts[0].shape[-2:]
+        return jnp.concatenate([t.reshape(-1, nby, nbx) for t in parts], 0)
 
     oy, ou, ov = orig_planes_dev
     ry, ru, rv = dbk_planes_dev
-    st = stats(oy, ry, ou, ru, ov, rv, ctu)
-    st = [np.asarray(t) for t in jax.device_get(st)]
+    flat = np.asarray(stats(oy, ry, ou, ru, ov, rv, ctu))
+    st = []
+    o = 0
+    for _ in range(3):
+        nby, nbx = flat.shape[-2:]
+        st.append(flat[o:o + 16].reshape(4, 4, nby, nbx)); o += 16
+        st.append(flat[o:o + 16].reshape(4, 4, nby, nbx)); o += 16
+        st.append(flat[o:o + 32]); o += 32
+        st.append(flat[o:o + 32]); o += 32
     lam_y = int(tables.LAMBDA_FX[min(qp, 51)])
     lam_c = int(tables.LAMBDA_FX[min(qp_c, 51)])
 
@@ -363,20 +374,23 @@ def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
     ml, mu = derive_merge_flags(luma, cbp, crp)
 
     @functools.partial(jax.jit, static_argnames=("ctu",))
-    def apply_dev(rec, typ, eo_cls, band_pos, offsets, ctu):
-        params = dict(type=typ, eo_class=eo_cls, band_pos=band_pos,
-                      offsets=offsets)
-        return apply_sao(rec, params, ctu, xp=jnp).astype(jnp.uint8)
+    def apply_packed(ry, ru, rv, pp, ctu):
+        # one upload (3, nby, nbx, 7) + one dispatch for all 3 components
+        def one(rec, par, c):
+            params = dict(type=par[..., 0], eo_class=par[..., 1],
+                          band_pos=par[..., 2], offsets=par[..., 3:7])
+            return apply_sao(rec, params, c, xp=jnp).astype(jnp.uint8)
+        return (one(ry, pp[0], ctu), one(ru, pp[1], ctu // 2),
+                one(rv, pp[2], ctu // 2))
 
-    def run_apply(rec, par, c):
-        return apply_dev(rec, jnp.asarray(par["type"]),
-                         jnp.asarray(par["eo_class"]),
-                         jnp.asarray(par["band_pos"]),
-                         jnp.asarray(par["offsets"]), c)
+    def pk(par):
+        return np.concatenate([par["type"][..., None],
+                               par["eo_class"][..., None],
+                               par["band_pos"][..., None],
+                               par["offsets"]], -1).astype(np.int32)
 
-    fy = run_apply(ry, luma, ctu)
-    fu = run_apply(ru, cbp, ctu // 2)
-    fv = run_apply(rv, crp, ctu // 2)
+    pp = jnp.asarray(np.stack([pk(luma), pk(cbp), pk(crp)]))
+    fy, fu, fv = apply_packed(ry, ru, rv, pp, ctu)
     info = dict(luma=luma, cb=cbp, cr=crp, merge_left=ml, merge_up=mu,
                 sao_luma=True, sao_chroma=True)
     return info, (fy, fu, fv)
