@@ -313,18 +313,14 @@ def _component_costs_from_stats(ke, se, kb, sb, lam_fx: int):
                 zero=np.zeros((nby, nbx), np.int64))
 
 
-def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
-                     qp_c: int):
-    """Device-accelerated SAO stage: stats + application run on device
-    (whole-frame reductions/selects); only the tiny per-CTU stat tensors and
-    the chosen params cross the host boundary. Returns
-    (sao_info, filtered device planes)."""
+def _sao_jits():
+    """Module-level jitted device passes (created once — defining jits
+    inside the per-frame call would re-trace every frame)."""
+    global _SAO_STATS_JIT, _SAO_APPLY_JIT
     import functools
 
     import jax
     import jax.numpy as jnp
-
-    from .. import tables
 
     @functools.partial(jax.jit, static_argnames=("ctu",))
     def stats(oy, ry, ou, ru, ov, rv, ctu):
@@ -335,6 +331,37 @@ def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
                  + _stats_device_one(ov, rv, ctu // 2, jnp))
         nby, nbx = parts[0].shape[-2:]
         return jnp.concatenate([t.reshape(-1, nby, nbx) for t in parts], 0)
+
+    @functools.partial(jax.jit, static_argnames=("ctu",))
+    def apply_packed(ry, ru, rv, pp, ctu):
+        # one upload (3, nby, nbx, 7) + one dispatch for all 3 components
+        def one(rec, par, c):
+            params = dict(type=par[..., 0], eo_class=par[..., 1],
+                          band_pos=par[..., 2], offsets=par[..., 3:7])
+            return apply_sao(rec, params, c, xp=jnp).astype(jnp.uint8)
+        return (one(ry, pp[0], ctu), one(ru, pp[1], ctu // 2),
+                one(rv, pp[2], ctu // 2))
+
+    _SAO_STATS_JIT, _SAO_APPLY_JIT = stats, apply_packed
+    return stats, apply_packed
+
+
+_SAO_STATS_JIT = None
+_SAO_APPLY_JIT = None
+
+
+def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
+                     qp_c: int):
+    """Device-accelerated SAO stage: stats + application run on device
+    (whole-frame reductions/selects); only the tiny per-CTU stat tensors and
+    the chosen params cross the host boundary. Returns
+    (sao_info, filtered device planes)."""
+    import jax.numpy as jnp
+
+    from .. import tables
+
+    stats, apply_packed = ((_SAO_STATS_JIT, _SAO_APPLY_JIT)
+                           if _SAO_STATS_JIT is not None else _sao_jits())
 
     oy, ou, ov = orig_planes_dev
     ry, ru, rv = dbk_planes_dev
@@ -372,16 +399,6 @@ def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
     crp = _pack(typ_c, cls_c, ccr["band_pos"], ccr["bo_off"], ccr["eo_offs"])
 
     ml, mu = derive_merge_flags(luma, cbp, crp)
-
-    @functools.partial(jax.jit, static_argnames=("ctu",))
-    def apply_packed(ry, ru, rv, pp, ctu):
-        # one upload (3, nby, nbx, 7) + one dispatch for all 3 components
-        def one(rec, par, c):
-            params = dict(type=par[..., 0], eo_class=par[..., 1],
-                          band_pos=par[..., 2], offsets=par[..., 3:7])
-            return apply_sao(rec, params, c, xp=jnp).astype(jnp.uint8)
-        return (one(ry, pp[0], ctu), one(ru, pp[1], ctu // 2),
-                one(rv, pp[2], ctu // 2))
 
     def pk(par):
         return np.concatenate([par["type"][..., None],
