@@ -259,32 +259,41 @@ def apply_sao(rec, params, ctu: int, xp=np):
 
 
 def _ctu_reduce_xp(arr, ctu: int, xp):
+    if xp is not np:
+        from .blocksum import block_sum
+        return block_sum(arr, ctu, ctu, xp=xp)
     H, W = arr.shape
     return arr.reshape(H // ctu, ctu, W // ctu, ctu).sum(axis=(1, 3))
 
 
 def _stats_device_one(orig, rec, ctu, xp):
-    """(ke, se, kb, sb) int32 stat tensors for one component, on device."""
+    """(ke, se, kb, sb) int32 stat tensors for one component, on device.
+
+    All per-CTU reductions go through the MXU block_sum primitive: the
+    (16 + 64) masked sums stack into one (80, H, W) tensor and pool as a
+    single batched matmul pair. |diff| <= 255 and counts <= 1 per pixel, so
+    16-granular f32 partials are exact (ops/blocksum.py)."""
     o = orig.astype(xp.int32)
     r = rec.astype(xp.int32)
     diff = o - r
-    ke, se = [], []
+    maps = []
     for cls in range(4):
         idx = edge_idx_map(r, cls, xp=xp)
-        k_c, s_c = [], []
         for ei in (0, 1, 3, 4):
             m = idx == ei
-            k_c.append(_ctu_reduce_xp(m.astype(xp.int32), ctu, xp))
-            s_c.append(_ctu_reduce_xp(xp.where(m, diff, 0), ctu, xp))
-        ke.append(xp.stack(k_c))
-        se.append(xp.stack(s_c))
+            maps.append(m.astype(xp.int32))
+            maps.append(xp.where(m, diff, 0))
     band = r >> 3
-    kb, sb = [], []
     for b in range(32):
         m = band == b
-        kb.append(_ctu_reduce_xp(m.astype(xp.int32), ctu, xp))
-        sb.append(_ctu_reduce_xp(xp.where(m, diff, 0), ctu, xp))
-    return (xp.stack(ke), xp.stack(se), xp.stack(kb), xp.stack(sb))
+        maps.append(m.astype(xp.int32))
+        maps.append(xp.where(m, diff, 0))
+    red = _ctu_reduce_xp(xp.stack(maps), ctu, xp)     # (96, nby, nbx)
+    ke = xp.stack([red[8 * c:8 * c + 8:2] for c in range(4)])
+    se = xp.stack([red[8 * c + 1:8 * c + 9:2] for c in range(4)])
+    kb = red[32::2]
+    sb = red[33::2]
+    return (ke, se, kb, sb)
 
 
 def _component_costs_from_stats(ke, se, kb, sb, lam_fx: int):

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import tables
+from ..ops import blocksum
 from ..ops import interp
 from ..ops import quant as quant_ops
 from ..ops import transforms as tx_ops
@@ -102,35 +103,20 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
                              search=search, me_precision=me_precision,
                              sign_hiding=sign_hiding)
 
-    # XLA fallback: scan over dy; all dx evaluated as one batched tensor per
-    # step. First-minimum raster semantics: argmin over dx picks the
-    # smallest dx, the strict-less carry update keeps the smallest dy —
-    # identical tie-breaks to the golden encoder's flat raster argmin.
-    cur16 = cur.astype(jnp.int16)
-
-    def step(carry, dyi):
-        best_cost, best_o = carry
-        row_band = jax.lax.dynamic_slice(ry, (PAD - search + dyi, 0),
-                                         (H, W + 2 * PAD))
-
-        def sad_dx(dxi):
-            shifted = jax.lax.dynamic_slice(
-                row_band, (0, PAD - search + dxi), (H, W)).astype(jnp.int16)
-            d = jnp.abs(cur16 - shifted)
-            return d.reshape(nby, B, nbx, B).astype(I32).sum(axis=(1, 3))
-
-        sads = jax.vmap(sad_dx)(jnp.arange(n, dtype=I32))     # (n, nby, nbx)
-        cost = sads + mvcost_j.reshape(n, n)[dyi][:, None, None]
-        kx = jnp.argmin(cost, axis=0).astype(I32)             # first min: dx
-        val = jnp.take_along_axis(cost, kx[None], axis=0)[0]
-        o = dyi * n + kx
-        better = val < best_cost
-        return (jnp.where(better, val, best_cost),
-                jnp.where(better, o, best_o)), None
-
-    big = jnp.full((nby, nbx), 1 << 30, I32)
-    (best_cost, best_o), _ = jax.lax.scan(
-        step, (big, jnp.zeros((nby, nbx), I32)), jnp.arange(n, dtype=I32))
+    # XLA path: ONE 16-granular SAD grid sweep, parent block SADs by
+    # sum-pooling (SAD additivity), then a single global argmin over the
+    # flat dy-major offset axis — jnp.argmin takes the FIRST minimum, which
+    # is exactly the golden encoder's raster tie-break.
+    g16 = _sad_grids(cur.astype(jnp.int16), ry, S=16, search=search)
+    g = g16
+    S = 32
+    while S <= B:
+        nn, py, px = g.shape
+        g = g.reshape(nn, py // 2, 2, px // 2, 2).sum(axis=(2, 4))
+        S *= 2
+    cost = g + mvcost_j[:, None, None]
+    best_o = jnp.argmin(cost, axis=0).astype(I32)   # (nby, nbx)
+    best_cost = jnp.take_along_axis(cost, best_o[None], axis=0)[0]
     ivy = best_o // n - search                      # (nby, nbx)
     ivx = best_o % n - search
     return _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost,
@@ -141,208 +127,217 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
 def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
                   lam, search, me_precision, sign_hiding):
     """Subpel refinement + MC + residual coding for every S-sized block of
-    the frame (one vmap lane per block). Returns per-block arrays plus an
-    integer RD cost (luma SSD + lambda*(level-bits-est + mv bits)) used by
-    the quadtree split decision. Size-generic: S in {16, 32, 64}."""
+    the frame. Returns per-block arrays plus an integer RD cost (luma SSD +
+    lambda*(level-bits-est + mv bits)) used by the quadtree split decision.
+    Size-generic: S in {16, 32, 64}.
+
+    TPU layout: per-block windows are gathered once, then ALL filtering /
+    cost math runs in (wy, wx, nb) layout — the block axis rides the
+    128-lane dimension at full utilisation instead of padding each small
+    (S, S) tile out to (8, 128). Numerically identical to the per-lane
+    formulation (the generic two-stage filter path below reproduces the
+    frac==0 special cases exactly: x*64 >> 6 == x for all ints)."""
     H, W = cur.shape
     nby, nbx = H // S, W // S
+    nb = nby * nbx
     S2 = S // 2
+    G = S + 2                                       # qpel grid spatial extent
     log2 = S.bit_length() - 1
 
     bits_q = jnp.asarray(_bits_tab(4 * search + 8), I32)
     qp_idx = [(qy, qx) for qy in range(-3, 4) for qx in range(-3, 4)]
     lam_full_t = jnp.asarray(tables.LAMBDA_FX)
 
-    rs = jnp.arange(nby * nbx, dtype=I32)
+    bi = jnp.arange(nb, dtype=I32)
+    r = bi // nbx
+    c = bi % nbx
+    vy = ivy.reshape(-1).astype(I32)
+    vx = ivx.reshape(-1).astype(I32)
 
-    def lane(bi):
-        r = bi // nbx
-        c = bi % nbx
-        y0 = r * S
-        x0 = c * S
-        vy = ivy[r, c]
-        vx = ivx[r, c]
-        blk = jax.lax.dynamic_slice(cur, (y0, x0), (S, S))
+    # ---- per-block (S+9, S+9) luma support windows -> (S+9, S+9, nb) ----
+    win = jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(ry, (yy, xx), (S + 9, S + 9)),
+        out_axes=2)(r * S + vy - 4 + PAD, c * S + vx - 4 + PAD)
 
-        # (S+9, S+9) support window around the integer-best position.
-        win = jax.lax.dynamic_slice(ry, (y0 + vy - 4 + PAD, x0 + vx - 4 + PAD),
-                                    (S + 9, S + 9))
-        G = S + 2                                   # qpel grid spatial extent
-        # horizontal passes (shared across fy)
-        hraw = [win[:, 3:3 + G]]
-        for fx in (1, 2, 3):
-            hraw.append(interp._filt_h(jnp, win, interp.LUMA_FILTERS[fx], 8))
-        grids = []
-        for fy in range(4):
-            for fx in range(4):
-                if fy == 0 and fx == 0:
-                    grids.append(win[3:3 + G, 3:3 + G])
-                elif fy == 0:
-                    grids.append(jnp.clip((hraw[fx][3:3 + G] + 32) >> 6, 0, 255))
-                elif fx == 0:
-                    vv = interp._filt_v(jnp, win[:, 3:3 + G],
-                                        interp.LUMA_FILTERS[fy], 8)
-                    grids.append(jnp.clip((vv + 32) >> 6, 0, 255))
-                else:
-                    vv = interp._filt_v(jnp, hraw[fx],
-                                        interp.LUMA_FILTERS[fy], 8) >> 6
-                    grids.append(jnp.clip((vv + 32) >> 6, 0, 255))
-        gstack = jnp.stack(grids)                   # (16, G, G)
+    def filt_h(b, taps, w_out):
+        acc = taps[0] * b[:, 0:w_out, :]
+        for i in range(1, len(taps)):
+            acc = acc + int(taps[i]) * b[:, i:i + w_out, :]
+        return acc
 
-        # 49 quarter-pel candidate costs.
-        costs = []
-        for qy, qx in qp_idx:
-            fy, fx = qy & 3, qx & 3
-            iy, ix = qy >> 2, qx >> 2
-            pred = gstack[fy * 4 + fx, 1 + iy:1 + iy + S, 1 + ix:1 + ix + S]
-            sad = jnp.abs(blk - pred).sum()
-            mvx_t = 4 * vx + qx
-            mvy_t = 4 * vy + qy
-            bb = bits_q[jnp.abs(mvx_t)] + bits_q[jnp.abs(mvy_t)]
-            costs.append(sad + ((lam * bb) >> 8))
-        cost49 = jnp.stack(costs)                   # (49,)
+    def filt_v(b, taps, h_out):
+        acc = taps[0] * b[0:h_out, :, :]
+        for i in range(1, len(taps)):
+            acc = acc + int(taps[i]) * b[i:i + h_out, :, :]
+        return acc
 
-        def strict_min(center_idx, offsets):
-            best_i = center_idx
-            best_c = cost49[center_idx]
-            for off in offsets:
-                i = center_idx + off
-                ci = cost49[i]
-                better = ci < best_c
-                best_c = jnp.where(better, ci, best_c)
-                best_i = jnp.where(better, i, best_i)
-            return best_i
+    # ---- 16 qpel grids, generic two-stage 8-tap (exact for frac==0) ----
+    hraw = [filt_h(win, interp.LUMA_FILTERS[fx], G) for fx in range(4)]
+    grids = []
+    for fy in range(4):
+        for fx in range(4):
+            vv = filt_v(hraw[fx], interp.LUMA_FILTERS[fy], G) >> 6
+            grids.append(jnp.clip((vv + 32) >> 6, 0, 255))
+    gstack = jnp.stack(grids)                       # (16, G, G, nb)
 
-        center = jnp.asarray(24, I32)               # (0, 0) in the 7x7 grid
-        if me_precision >= 1:
-            offs = [dqy * 7 + dqx for dqy in (-2, 0, 2) for dqx in (-2, 0, 2)
-                    if not (dqy == 0 and dqx == 0)]
-            center = strict_min(center, offs)
-        if me_precision >= 2:
-            offs = [dqy * 7 + dqx for dqy in (-1, 0, 1) for dqx in (-1, 0, 1)
-                    if not (dqy == 0 and dqx == 0)]
-            center = strict_min(center, offs)
-        qy = center // 7 - 3
-        qx = center % 7 - 3
-        mvx = 4 * vx + qx
-        mvy = 4 * vy + qy
+    # ---- current blocks in (S, S, nb) layout ----
+    blk = (cur.reshape(nby, S, nbx, S).transpose(1, 3, 0, 2)
+           .reshape(S, S, nb))
 
+    # ---- 49 quarter-pel candidate costs (49, nb) ----
+    costs = []
+    for qy, qx in qp_idx:
         fy, fx = qy & 3, qx & 3
-        plane = jax.lax.dynamic_index_in_dim(gstack, fy * 4 + fx, 0,
-                                             keepdims=False)
-        pred_y = jax.lax.dynamic_slice(plane, (1 + (qy >> 2), 1 + (qx >> 2)),
-                                       (S, S))
+        iy, ix = qy >> 2, qx >> 2
+        pred = gstack[fy * 4 + fx, 1 + iy:1 + iy + S, 1 + ix:1 + ix + S, :]
+        sad = jnp.abs(blk - pred).sum(axis=(0, 1))
+        bb = bits_q[jnp.abs(4 * vx + qx)] + bits_q[jnp.abs(4 * vy + qy)]
+        costs.append(sad + ((lam * bb) >> 8))
+    cost49 = jnp.stack(costs)                       # (49, nb)
 
-        # ---- chroma MC: all 64 frac planes, select (fy, fx) ----
-        def chroma_pred(refp, cy0, cx0):
-            wc = jax.lax.dynamic_slice(
-                refp, (cy0 + (mvy >> 3) + PAD // 2 - 1,
-                       cx0 + (mvx >> 3) + PAD // 2 - 1), (S2 + 3, S2 + 3))
-            cfy, cfx = mvy & 7, mvx & 7
-            hs = [wc[:, 1:1 + S2]]
-            for f in range(1, 8):
-                hs.append(interp._filt_h(jnp, wc, interp.CHROMA_FILTERS[f], 4))
-            outs = []
-            for gy in range(8):
-                for gx in range(8):
-                    if gy == 0 and gx == 0:
-                        outs.append(wc[1:1 + S2, 1:1 + S2])
-                    elif gy == 0:
-                        outs.append(jnp.clip((hs[gx][1:1 + S2] + 32) >> 6, 0, 255))
-                    elif gx == 0:
-                        vv = interp._filt_v(jnp, wc[:, 1:1 + S2],
-                                            interp.CHROMA_FILTERS[gy], 4)
-                        outs.append(jnp.clip((vv + 32) >> 6, 0, 255))
-                    else:
-                        vv = interp._filt_v(jnp, hs[gx],
-                                            interp.CHROMA_FILTERS[gy], 4) >> 6
-                        outs.append(jnp.clip((vv + 32) >> 6, 0, 255))
-            st = jnp.stack(outs)                    # (64, S2, S2)
-            return jax.lax.dynamic_index_in_dim(st, cfy * 8 + cfx, 0,
-                                                keepdims=False)
+    def strict_min(center_idx, offsets):
+        best_i = center_idx
+        best_c = jnp.take_along_axis(cost49, center_idx[None], axis=0)[0]
+        for off in offsets:
+            i = center_idx + off
+            ci = jnp.take_along_axis(cost49, i[None], axis=0)[0]
+            better = ci < best_c
+            best_c = jnp.where(better, ci, best_c)
+            best_i = jnp.where(better, i, best_i)
+        return best_i
 
-        cy0 = r * S2
-        cx0 = c * S2
-        pred_u = chroma_pred(ru, cy0, cx0)
-        pred_v = chroma_pred(rv, cy0, cx0)
-        blk_u = jax.lax.dynamic_slice(u_pad.astype(I32), (cy0, cx0), (S2, S2))
-        blk_v = jax.lax.dynamic_slice(v_pad.astype(I32), (cy0, cx0), (S2, S2))
+    center = jnp.full((nb,), 24, I32)               # (0, 0) in the 7x7 grid
+    if me_precision >= 1:
+        offs = [dqy * 7 + dqx for dqy in (-2, 0, 2) for dqx in (-2, 0, 2)
+                if not (dqy == 0 and dqx == 0)]
+        center = strict_min(center, offs)
+    if me_precision >= 2:
+        offs = [dqy * 7 + dqx for dqy in (-1, 0, 1) for dqx in (-1, 0, 1)
+                if not (dqy == 0 and dqx == 0)]
+        center = strict_min(center, offs)
+    qy = center // 7 - 3
+    qx = center % 7 - 3
+    mvx = 4 * vx + qx
+    mvy = 4 * vy + qy
 
-        def rd_zero(orig, pred, lev, rec, qpq):
-            # skip-vs-code RD (role of the reference's zero-cbf-vs-coded SSD
-            # decision, hmr_motion_inter.c:106/:209): drop the residual when
-            # prediction-only costs less in D + lambda*R.
-            lamf = lam_full_t[qpq]
-            ssd_c = jnp.sum((orig - rec) * (orig - rec), axis=(-1, -2))
-            ssd_s = jnp.sum((orig - pred) * (orig - pred), axis=(-1, -2))
-            bits = jnp.minimum(tables.level_bits_est(lev, xp=jnp), 16383)
-            keep = ssd_c + (((lamf >> 4) * bits) >> 4) < ssd_s
-            keep_b = keep[..., None, None] if lev.ndim > 2 else keep
-            return (jnp.where(keep_b, lev, 0),
-                    jnp.where(keep_b, rec, pred))
+    # ---- final luma pred: masked plane + shift select ----
+    pidx = (qy & 3) * 4 + (qx & 3)                  # (nb,)
+    sel = jnp.zeros((G, G, nb), I32)
+    for p in range(16):
+        sel = sel + jnp.where(pidx == p, gstack[p], 0)
+    sy = 1 + (qy >> 2)                              # in {0, 1}
+    sx = 1 + (qx >> 2)
+    pred_y = jnp.zeros((S, S, nb), I32)
+    for a in (0, 1):
+        for b in (0, 1):
+            m = (sy == a) & (sx == b)
+            pred_y = pred_y + jnp.where(m, sel[a:a + S, b:b + S, :], 0)
 
-        def code(orig, pred, qpq, lg2, max_tb=5):
-            resid = orig - pred
-            n = 1 << lg2
-            if lg2 > max_tb:
-                # implicit TU quadtree (spec 7.3.8.8): four half-size TBs,
-                # batched as one (4, n/2, n/2) tensor op.
-                h2 = n // 2
-                q = (resid.reshape(2, h2, 2, h2).transpose(0, 2, 1, 3)
-                     .reshape(4, h2, h2))
-                coeff = tx_ops.forward_transform(q)
-                lev = quant_ops.quantize(coeff, qpq, lg2 - 1, is_intra=False)
-                if sign_hiding:
-                    lev = quant_ops.sign_bit_hiding(lev, coeff, qpq, lg2 - 1)
-                rr = tx_ops.inverse_transform(
-                    quant_ops.dequantize(lev, qpq, lg2 - 1))
-                any_nz = jnp.any(lev != 0, axis=(-1, -2))
-                rr = jnp.where(any_nz[:, None, None], rr, 0)
-                predq = (pred.reshape(2, h2, 2, h2).transpose(0, 2, 1, 3)
-                         .reshape(4, h2, h2))
-                origq = (orig.reshape(2, h2, 2, h2).transpose(0, 2, 1, 3)
-                         .reshape(4, h2, h2))
-                rec_q = jnp.clip(predq + rr, 0, 255)
-                lev, rec_q = rd_zero(origq, predq, lev, rec_q, qpq)
+    # ---- chroma MC with per-block 4-tap filter coefficients ----
+    ctab = jnp.asarray(interp.CHROMA_FILTERS)
+    coefx = ctab[mvx & 7].T                         # (4, nb)
+    coefy = ctab[mvy & 7].T
 
-                def untile(t):
-                    return (t.reshape(2, 2, h2, h2).transpose(0, 2, 1, 3)
-                            .reshape(n, n))
-                return untile(lev), untile(rec_q)
-            coeff = tx_ops.forward_transform(resid)
-            lev = quant_ops.quantize(coeff, qpq, lg2, is_intra=False)
+    def chroma_pred(refp, base_y, base_x):
+        wc = jax.vmap(
+            lambda yy, xx: jax.lax.dynamic_slice(refp, (yy, xx),
+                                                 (S2 + 3, S2 + 3)),
+            out_axes=2)(base_y, base_x)             # (S2+3, S2+3, nb)
+        hs = sum(coefx[k][None, None, :] * wc[:, k:k + S2, :]
+                 for k in range(4))                 # (S2+3, S2, nb)
+        vv = sum(coefy[k][None, None, :] * hs[k:k + S2, :, :]
+                 for k in range(4)) >> 6
+        return jnp.clip((vv + 32) >> 6, 0, 255)
+
+    by_c = r * S2 + (mvy >> 3) + PAD // 2 - 1
+    bx_c = c * S2 + (mvx >> 3) + PAD // 2 - 1
+    pred_u = chroma_pred(ru, by_c, bx_c)
+    pred_v = chroma_pred(rv, by_c, bx_c)
+    blk_u = (u_pad.astype(I32).reshape(nby, S2, nbx, S2)
+             .transpose(1, 3, 0, 2).reshape(S2, S2, nb))
+    blk_v = (v_pad.astype(I32).reshape(nby, S2, nbx, S2)
+             .transpose(1, 3, 0, 2).reshape(S2, S2, nb))
+
+    # ---- residual coding on (nb, S, S) batches ----
+    def tob(x):                                     # (s, s, nb) -> (nb, s, s)
+        return x.transpose(2, 0, 1)
+
+    def rd_zero(orig, pred, lev, rec, qpq):
+        # skip-vs-code RD (role of the reference's zero-cbf-vs-coded SSD
+        # decision, hmr_motion_inter.c:106/:209): drop the residual when
+        # prediction-only costs less in D + lambda*R.
+        lamf = lam_full_t[qpq]
+        ssd_c = jnp.sum((orig - rec) * (orig - rec), axis=(-1, -2))
+        ssd_s = jnp.sum((orig - pred) * (orig - pred), axis=(-1, -2))
+        bits = jnp.minimum(tables.level_bits_est(lev, xp=jnp), 16383)
+        keep = ssd_c + (((lamf >> 4) * bits) >> 4) < ssd_s
+        keep_b = keep[..., None, None]
+        return (jnp.where(keep_b, lev, 0), jnp.where(keep_b, rec, pred))
+
+    def code(orig, pred, qpq, lg2, max_tb=5):
+        resid = orig - pred                         # (nb, n, n)
+        n = 1 << lg2
+        if lg2 > max_tb:
+            # implicit TU quadtree (spec 7.3.8.8): four half-size TBs,
+            # batched as one (nb, 4, n/2, n/2) tensor op.
+            h2 = n // 2
+
+            def tile(t):
+                return (t.reshape(nb, 2, h2, 2, h2).transpose(0, 1, 3, 2, 4)
+                        .reshape(nb, 4, h2, h2))
+
+            q = tile(resid)
+            coeff = tx_ops.forward_transform(q)
+            lev = quant_ops.quantize(coeff, qpq, lg2 - 1, is_intra=False)
             if sign_hiding:
-                lev = quant_ops.sign_bit_hiding(lev, coeff, qpq, lg2)
-            rr = tx_ops.inverse_transform(quant_ops.dequantize(lev, qpq, lg2))
-            any_nz = jnp.any(lev != 0)
-            rr = jnp.where(any_nz, rr, 0)
-            rec = jnp.clip(pred + rr, 0, 255)
-            lev, rec = rd_zero(orig, pred, lev, rec, qpq)
-            return lev, rec
+                lev = quant_ops.sign_bit_hiding(lev, coeff, qpq, lg2 - 1)
+            rr = tx_ops.inverse_transform(
+                quant_ops.dequantize(lev, qpq, lg2 - 1))
+            any_nz = jnp.any(lev != 0, axis=(-1, -2))
+            rr = jnp.where(any_nz[..., None, None], rr, 0)
+            predq = tile(pred)
+            origq = tile(orig)
+            rec_q = jnp.clip(predq + rr, 0, 255)
+            lev, rec_q = rd_zero(origq, predq, lev, rec_q, qpq)
 
-        cmax_tb = 4 if log2 == 6 else 5
-        lev_y, rec_y = code(blk, pred_y, qp, log2)
-        lev_u, rec_u = code(blk_u, pred_u, qp_c, log2 - 1, cmax_tb)
-        lev_v, rec_v = code(blk_v, pred_v, qp_c, log2 - 1, cmax_tb)
+            def untile(t):
+                return (t.reshape(nb, 2, 2, h2, h2).transpose(0, 1, 3, 2, 4)
+                        .reshape(nb, n, n))
+            return untile(lev), untile(rec_q)
+        coeff = tx_ops.forward_transform(resid)
+        lev = quant_ops.quantize(coeff, qpq, lg2, is_intra=False)
+        if sign_hiding:
+            lev = quant_ops.sign_bit_hiding(lev, coeff, qpq, lg2)
+        rr = tx_ops.inverse_transform(quant_ops.dequantize(lev, qpq, lg2))
+        any_nz = jnp.any(lev != 0, axis=(-1, -2))
+        rr = jnp.where(any_nz[..., None, None], rr, 0)
+        rec = jnp.clip(pred + rr, 0, 255)
+        lev, rec = rd_zero(orig, pred, lev, rec, qpq)
+        return lev, rec
 
-        # node RD cost for the quadtree split decision
-        lamf = lam_full_t[qp]
-        bits_lv = jnp.minimum(tables.level_bits_est(lev_y, xp=jnp)
-                              .sum(), 16383)
-        mvb = bits_q[jnp.abs(mvx)] + bits_q[jnp.abs(mvy)]
-        ssd = jnp.sum((blk - rec_y) * (blk - rec_y))
-        cost = ssd + (((lamf >> 4) * (bits_lv + mvb + 6)) >> 4)
-        return dict(mvx=mvx, mvy=mvy, lev_y=lev_y, lev_u=lev_u, lev_v=lev_v,
-                    rec_y=rec_y, rec_u=rec_u, rec_v=rec_v, cost=cost)
+    cmax_tb = 4 if log2 == 6 else 5
+    blk_b = tob(blk)
+    lev_y, rec_y = code(blk_b, tob(pred_y), qp, log2)
+    lev_u, rec_u = code(tob(blk_u), tob(pred_u), qp_c, log2 - 1, cmax_tb)
+    lev_v, rec_v = code(tob(blk_v), tob(pred_v), qp_c, log2 - 1, cmax_tb)
 
-    outs = jax.vmap(lane)(rs)
+    # node RD cost for the quadtree split decision
+    lamf = lam_full_t[qp]
+    bits_lv = jnp.minimum(
+        tables.level_bits_est(lev_y, xp=jnp).reshape(nb, -1).sum(axis=-1),
+        16383)
+    mvb = bits_q[jnp.abs(mvx)] + bits_q[jnp.abs(mvy)]
+    ssd = jnp.sum((blk_b - rec_y) * (blk_b - rec_y), axis=(-1, -2))
+    cost = ssd + (((lamf >> 4) * (bits_lv + mvb + 6)) >> 4)
+
     out = {}
-    for k in ("lev_y", "rec_y"):
-        out[k] = outs[k].reshape(nby, nbx, S, S)
-    for k in ("lev_u", "lev_v", "rec_u", "rec_v"):
-        out[k] = outs[k].reshape(nby, nbx, S2, S2)
-    for k in ("mvx", "mvy", "cost"):
-        out[k] = outs[k].reshape(nby, nbx)
+    for k, t in (("lev_y", lev_y), ("rec_y", rec_y)):
+        out[k] = t.reshape(nby, nbx, S, S)
+    for k, t in (("lev_u", lev_u), ("lev_v", lev_v),
+                 ("rec_u", rec_u), ("rec_v", rec_v)):
+        out[k] = t.reshape(nby, nbx, S2, S2)
+    for k, t in (("mvx", mvx), ("mvy", mvy), ("cost", cost)):
+        out[k] = t.reshape(nby, nbx)
     return out
 
 
@@ -401,10 +396,10 @@ def _sad_grids(cur16, ry, *, S, search):
         def sad_dx(dxi):
             shifted = jax.lax.dynamic_slice(
                 row_band, (0, PAD - search + dxi), (H, W)).astype(jnp.int16)
-            d = jnp.abs(cur16 - shifted)
-            return d.reshape(nby, S, nbx, S).astype(I32).sum(axis=(1, 3))
+            return jnp.abs(cur16 - shifted)
 
-        return None, jax.vmap(sad_dx)(jnp.arange(n, dtype=I32))
+        diffs = jax.vmap(sad_dx)(jnp.arange(n, dtype=I32))
+        return None, blocksum.block_sum(diffs, S, S, xp=jnp)
 
     _, g = jax.lax.scan(step, None, jnp.arange(n, dtype=I32))
     return g.reshape(n * n, nby, nbx)               # (nn, nby, nbx)
