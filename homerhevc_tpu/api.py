@@ -231,6 +231,183 @@ class HomerEncoder:
         return au, recon
 
     # ------------------------------------------------------------------
+    def encode_frames(self, frames, *, chunk: int = 8) -> list:
+        """Batched streaming encode: [(y, u, v), ...] -> [Annex-B AU, ...].
+
+        Runs of P frames go through the chunked device pipeline
+        (pipeline/p_chunk.py): ONE dispatch + ONE compact fetch per `chunk`
+        frames, device-resident reference loop (deblock + SAO on device),
+        and chunk-level software pipelining — frame k+1's chunk computes on
+        the TPU while the host runs CABAC for chunk k. IDR frames (POC 0,
+        intra_period boundaries, scene cuts) use the per-frame path.
+        TPU-native role of the reference's frame-parallel engines
+        (hmr_encoder_lib.c:3132, num_enc_engines)."""
+        if self.backend != "jax":
+            return [self.encode_frame(*f) for f in frames]
+        c = self.cfg
+        n = len(frames)
+        poc0 = self.poc
+        aus: list = [None] * n
+        pending = None                      # (indices, qps, wires, denses)
+        i = 0
+
+        def is_idr_at(k):
+            poc = poc0 + k
+            return (poc == 0
+                    or (c.intra_period > 0
+                        and (poc - self.last_idr) % c.intra_period == 0))
+
+        while i < n or pending is not None:
+            new_pending = None
+            if i < n and not is_idr_at(i):
+                # dispatch the next P chunk (device computes while the host
+                # CABACs the previous one below)
+                if c.intra_period > 0:
+                    poc = poc0 + i
+                    run_end = min(n, i + c.intra_period
+                                  - (poc - self.last_idr) % c.intra_period)
+                else:
+                    run_end = n
+                j = min(run_end, i + chunk)
+                idxs = list(range(i, j))
+                qps = []
+                for _ in idxs:
+                    q = self._rc.frame_qp(False) if self._rc else c.qp
+                    qps.append(int(np.clip(q, 0, 51)))
+                wires, denses = self._dispatch_chunk(
+                    [frames[k] for k in idxs], qps)
+                new_pending = (idxs, qps, wires, denses)
+                i = j
+            if pending is not None:
+                res = self._finish_chunk(pending, aus, frames)
+                if res == "scene":
+                    # the fallback re-encode changed the reference chain:
+                    # every dispatched-but-unprocessed chunk is invalid.
+                    new_pending = None
+                    i = next((k for k in range(n) if aus[k] is None), n)
+            pending = new_pending
+            if pending is None and i < n and is_idr_at(i):
+                aus[i] = self.encode_frame(*frames[i])
+                i += 1
+        return aus
+
+    # ------------------------------------------------------------------
+    def _dispatch_chunk(self, fr, qps):
+        import jax.numpy as jnp
+
+        from .pipeline import p_chunk
+
+        c = self.cfg
+        ys = np.stack([_pad_to(np.asarray(f[0], np.uint8), self.ph, self.pw)
+                       for f in fr])
+        us = np.stack([_pad_to(np.asarray(f[1], np.uint8), self.ph // 2,
+                               self.pw // 2) for f in fr])
+        vs = np.stack([_pad_to(np.asarray(f[2], np.uint8), self.ph // 2,
+                               self.pw // 2) for f in fr])
+        with self.prof.probe("chunk.upload"):
+            ysd = jnp.asarray(ys)
+            usd = jnp.asarray(us)
+            vsd = jnp.asarray(vs)
+        ctu = 1 << self.ctu_log2
+        with self.prof.probe("chunk.dispatch"):
+            wires, denses, fy, fu, fv = p_chunk.p_chunk_device(
+                ysd, usd, vsd, *self._ref, jnp.asarray(qps, jnp.int32),
+                ctu=ctu, search=c.me_search_range,
+                me_precision=int(c.motion_estimation_precision),
+                sign_hiding=c.sign_hiding, deblock=c.deblocking,
+                sao=c.sample_adaptive_offset,
+                cap=self._chunk_cap, tree=self.inter_split)
+        self._ref = (fy, fu, fv)
+        return wires, denses
+
+    @property
+    def _chunk_cap(self):
+        # capacity of the compacted coded-sub-block fetch: 1/8 of all 4x4s
+        L4 = (self.ph // 4) * (self.pw // 4) * 3 // 2
+        return max(1024, L4 // 8)
+
+    def _finish_chunk(self, pending, aus, frames):
+        """Fetch + host-process one dispatched chunk. Returns None, or
+        'scene' after a scene-cut fallback re-encode."""
+        from .entropy import native_backend
+        from .ops.inter_golden import derive_tree_decisions
+        from .pipeline import p_chunk
+
+        c = self.cfg
+        ctu = 1 << self.ctu_log2
+        idxs, qps, wires, denses = pending
+        with self.prof.probe("chunk.fetch"):
+            wires_h = np.asarray(wires)
+        cap = self._chunk_cap
+        for row_i, (fi, qp) in enumerate(zip(idxs, qps)):
+            w = p_chunk.unpack_wire(wires_h[row_i], self.ph, self.pw, ctu,
+                                    cap)
+            if c.reinit_gop_on_scene_change:
+                ms = float(w["sad"].astype(np.int64).mean())
+                if ms / (ctu * ctu) > SCENE_SAD_PER_PIXEL:
+                    # scene cut: this frame and everything after in this
+                    # chunk is invalid — re-encode from here per-frame
+                    # (IDR first), caller restarts chunking after.
+                    if self._rc:
+                        self._rc.on_scene_change()
+                    for k in idxs[row_i:]:
+                        aus[k] = self.encode_frame(*frames[k],
+                                                   force_idr=(k == fi))
+                    return "scene"
+            cnt = int(w["cnt"][0])
+            with self.prof.probe("chunk.scatter"):
+                if cnt <= cap:
+                    lev_y, lev_u, lev_v = p_chunk.scatter_levels(
+                        w["idx"], w["vals"], min(cnt, cap), self.ph, self.pw)
+                else:                      # capacity overflow: dense fetch
+                    d = np.asarray(denses[row_i])
+                    npix = self.ph * self.pw
+                    lev_y = d[:npix].reshape(self.ph, self.pw).astype(np.int32)
+                    lev_u = (d[npix:npix + npix // 4]
+                             .reshape(self.ph // 2, self.pw // 2)
+                             .astype(np.int32))
+                    lev_v = (d[npix + npix // 4:npix + npix // 2]
+                             .reshape(self.ph // 2, self.pw // 2)
+                             .astype(np.int32))
+            uh, uw = self.ph // 4, self.pw // 4
+            depth_u = np.repeat(np.repeat(w["depth16"], 4, 0), 4, 1)
+            mv_u = np.repeat(np.repeat(w["mv16"], 4, 0), 4, 1)
+            nz_y = np.any(lev_y.reshape(uh, 4, uw, 4) != 0, axis=(1, 3))
+            nz_u = np.any(lev_u.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
+            nz_v = np.any(lev_v.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
+            nz = nz_y | nz_u | nz_v
+            with self.prof.probe("chunk.decisions"):
+                dec, _ = derive_tree_decisions(depth_u, mv_u, nz,
+                                               self.ctu_log2, 5)
+                maps = native_backend.maps_from_p_units(depth_u, dec, lev_y,
+                                                        lev_u, lev_v)
+            sao_info = None
+            if c.sample_adaptive_offset:
+                pp = w["sao_pp"]
+
+                def unpk(k):
+                    return dict(type=pp[k][..., 0].astype(np.int8),
+                                eo_class=pp[k][..., 1].astype(np.int8),
+                                band_pos=pp[k][..., 2].astype(np.int8),
+                                offsets=pp[k][..., 3:7].astype(np.int8))
+
+                sao_info = dict(luma=unpk(0), cb=unpk(1), cr=unpk(2),
+                                merge_left=w["merge"][0].astype(bool),
+                                merge_up=w["merge"][1].astype(bool),
+                                sao_luma=True, sao_chroma=True)
+            with self.prof.probe("chunk.entropy"):
+                au = assemble.assemble_p_au_from_maps(
+                    self.params, maps, poc=self.poc - self.last_idr,
+                    slice_qp=qp, sao_info=sao_info)
+            aus[fi] = au
+            self.last_qp = qp
+            self.poc += 1
+            self.frame_bytes.append(len(au))
+            if self._rc:
+                self._rc.end_frame(len(au) * 8, False)
+        return None
+
+    # ------------------------------------------------------------------
     def _encode_p_tree(self, yp, up, vp, qp):
         """P frame through the inter CU quadtree device stage. Returns the
         AU, or None on a detected scene cut (caller re-encodes as IDR)."""

@@ -95,25 +95,29 @@ def bo_stats(orig, rec, ctu: int):
     return np.stack(ks), np.stack(ss)
 
 
-def _best_offset(k, s, lam_fx, sign_constraint=0):
+def _best_offset(k, s, lam_fx, sign_constraint=0, xp=np):
     """Vectorized best offset per (.., nby, nbx) stat cell.
 
     Minimises D(h) = k h^2 - 2 h s plus lam * bits(|h|); sign_constraint:
-    +1 -> h >= 0, -1 -> h <= 0, 0 -> free. Returns (h, cost_delta)."""
-    hs = np.arange(-MAX_OFFSET, MAX_OFFSET + 1)
+    +1 -> h >= 0, -1 -> h <= 0, 0 -> free. Returns (h, cost_delta).
+    xp-generic: identical integer math host (int64) and device (int32 —
+    every term < 2**24, so the narrower dtype cannot change the argmin)."""
+    hs_np = np.arange(-MAX_OFFSET, MAX_OFFSET + 1)
     if sign_constraint > 0:
-        hs = hs[hs >= 0]
+        hs_np = hs_np[hs_np >= 0]
     elif sign_constraint < 0:
-        hs = hs[hs <= 0]
+        hs_np = hs_np[hs_np <= 0]
+    acc = np.int64 if xp is np else xp.int32
+    hs = xp.asarray(hs_np)
     # shape (H..., len(hs))
-    k_ = k[..., None].astype(np.int64)
-    s_ = s[..., None].astype(np.int64)
-    bits = (np.abs(hs) + 1)
+    k_ = k[..., None].astype(acc)
+    s_ = s[..., None].astype(acc)
+    bits = xp.asarray(np.abs(hs_np) + 1)
     cost = k_ * hs * hs - 2 * hs * s_ + ((lam_fx * bits) >> 8)
-    j = np.argmin(cost, axis=-1)
+    j = xp.argmin(cost, axis=-1)
     h = hs[j]
-    c = np.take_along_axis(cost, j[..., None], axis=-1)[..., 0]
-    return h.astype(np.int32), c
+    c = xp.take_along_axis(cost, j[..., None], axis=-1)[..., 0]
+    return h.astype(xp.int32), c
 
 
 def _component_costs(orig, rec, ctu: int, lam_fx: int):
@@ -143,13 +147,55 @@ def _component_costs(orig, rec, ctu: int, lam_fx: int):
                 zero=np.zeros((nby, nbx), np.int64))
 
 
-def _pack(typ, cls, band_pos, bo_off, eo_offs):
-    eo_off = np.take_along_axis(eo_offs, cls[None, None], axis=0)[0]
-    offsets = np.where(typ[None] == 1, bo_off,
-                       np.where(typ[None] == 2, eo_off, 0))
-    return dict(type=typ.astype(np.int8), eo_class=cls.astype(np.int8),
-                band_pos=band_pos.astype(np.int8),
-                offsets=offsets.transpose(1, 2, 0).astype(np.int8))
+def _pack(typ, cls, band_pos, bo_off, eo_offs, xp=np):
+    eo_off = xp.take_along_axis(eo_offs, cls[None, None], axis=0)[0]
+    offsets = xp.where(typ[None] == 1, bo_off,
+                       xp.where(typ[None] == 2, eo_off, 0))
+    dt = xp.int8
+    return dict(type=typ.astype(dt), eo_class=cls.astype(dt),
+                band_pos=band_pos.astype(dt),
+                offsets=offsets.transpose(1, 2, 0).astype(dt))
+
+
+def derive_all_from_stats(st_y, st_cb, st_cr, qp: int, qp_c: int, xp=np):
+    """Full SAO parameter derivation from per-CTU stat tensors for all three
+    components (luma independent; chroma type/EO-class shared, spec 7.3.8.3)
+    + equality-based merge flags. xp-generic: runs on host over fetched
+    stats or fully on device inside the frame jit. Returns
+    (luma, cb, cr, merge_left, merge_up)."""
+    from .. import tables
+    if xp is np:
+        lam_y = int(tables.LAMBDA_FX[min(qp, 51)])
+        lam_c = int(tables.LAMBDA_FX[min(qp_c, 51)])
+    else:                                 # traced qp inside the frame jit
+        lt = xp.asarray(tables.LAMBDA_FX)
+        lam_y = lt[xp.minimum(qp, 51)]
+        lam_c = lt[xp.minimum(qp_c, 51)]
+    ccy = _component_costs_from_stats(*st_y, lam_y, xp=xp)
+    ccb = _component_costs_from_stats(*st_cb, lam_c, xp=xp)
+    ccr = _component_costs_from_stats(*st_cr, lam_c, xp=xp)
+
+    cost_eo = ccy["cost_eo"] + ((lam_y * 6) >> 8)
+    cls = xp.argmin(cost_eo, axis=0)
+    eo_cost = xp.take_along_axis(cost_eo, cls[None], axis=0)[0]
+    bo_cost = ccy["bo_cost"] + ((lam_y * 10) >> 8)
+    off_cost = ccy["zero"] + ((lam_y * 1) >> 8)
+    typ = xp.argmin(xp.stack([off_cost, bo_cost, eo_cost]), axis=0)
+    luma = _pack(typ, cls, ccy["band_pos"], ccy["bo_off"], ccy["eo_offs"],
+                 xp=xp)
+
+    cost_eo_c = ccb["cost_eo"] + ccr["cost_eo"] + ((lam_c * 6) >> 8)
+    cls_c = xp.argmin(cost_eo_c, axis=0)
+    bo_cost_c = ccb["bo_cost"] + ccr["bo_cost"] + ((lam_c * 16) >> 8)
+    off_cost_c = ccb["zero"] + ((lam_c * 1) >> 8)
+    eo_cost_c = xp.take_along_axis(cost_eo_c, cls_c[None], axis=0)[0]
+    typ_c = xp.argmin(xp.stack([off_cost_c, bo_cost_c, eo_cost_c]), axis=0)
+    cbp = _pack(typ_c, cls_c, ccb["band_pos"], ccb["bo_off"], ccb["eo_offs"],
+                xp=xp)
+    crp = _pack(typ_c, cls_c, ccr["band_pos"], ccr["bo_off"], ccr["eo_offs"],
+                xp=xp)
+    ml, mu = derive_merge_flags(luma, cbp, crp, xp=xp)
+    return luma, cbp, crp, ml, mu
 
 
 def derive_params(orig, rec, ctu: int, qp: int, *, lam_scale: int = 256):
@@ -186,32 +232,27 @@ def derive_params_chroma(orig_cb, rec_cb, orig_cr, rec_cr, ctu: int, qp: int,
             _pack(typ, cls, cr["band_pos"], cr["bo_off"], cr["eo_offs"]))
 
 
-def derive_merge_flags(luma, chroma_cb, chroma_cr):
+def derive_merge_flags(luma, chroma_cb, chroma_cr, xp=np):
     """Set merge_left/up where ALL components' params match the neighbor
     (encoder-side convenience; decoder copies on merge)."""
     t = luma["type"]
     nby, nbx = t.shape
 
     def same(a, b):
-        return np.all(a == b, axis=-1) if a.ndim == 3 else (a == b)
+        return xp.all(a == b, axis=-1) if a.ndim == 3 else (a == b)
 
     def params_equal(shift):
-        eq = np.ones((nby, nbx), bool)
+        eq = None
         for comp in (luma, chroma_cb, chroma_cr):
             for key in ("type", "eo_class", "band_pos", "offsets"):
                 a = comp[key]
                 if shift == "left":
-                    pa, pb = a[:, 1:], a[:, :-1]
-                    e = same(pa, pb)
-                    full = np.zeros((nby, nbx), bool)
-                    full[:, 1:] = e
+                    e = same(a[:, 1:], a[:, :-1])
                 else:
-                    pa, pb = a[1:, :], a[:-1, :]
-                    e = same(pa, pb)
-                    full = np.zeros((nby, nbx), bool)
-                    full[1:, :] = e
-                eq &= full
-        return eq
+                    e = same(a[1:, :], a[:-1, :])
+                eq = e if eq is None else (eq & e)
+        pad = ((0, 0), (1, 0)) if shift == "left" else ((1, 0), (0, 0))
+        return xp.pad(eq, pad, mode="constant", constant_values=False)
 
     merge_left = params_equal("left")
     merge_up = params_equal("up") & ~merge_left
@@ -296,30 +337,33 @@ def _stats_device_one(orig, rec, ctu, xp):
     return (ke, se, kb, sb)
 
 
-def _component_costs_from_stats(ke, se, kb, sb, lam_fx: int):
-    """Host-side twin of _component_costs operating on fetched stat tensors
-    (tiny (4,4,nby,nbx)/(32,nby,nbx) arrays)."""
-    ke = np.asarray(ke, np.int64)
-    se = np.asarray(se, np.int64)
-    kb = np.asarray(kb, np.int64)
-    sb = np.asarray(sb, np.int64)
+def _component_costs_from_stats(ke, se, kb, sb, lam_fx: int, xp=np):
+    """Twin of _component_costs operating on stat tensors (tiny
+    (4,4,nby,nbx)/(32,nby,nbx) arrays); xp-generic so the same derivation
+    runs on fetched stats (host) or inside the frame jit (device)."""
+    acc = np.int64 if xp is np else xp.int32
+    ke = xp.asarray(ke).astype(acc)
+    se = xp.asarray(se).astype(acc)
+    kb = xp.asarray(kb).astype(acc)
+    sb = xp.asarray(sb).astype(acc)
     nby, nbx = ke.shape[-2:]
-    offs = np.zeros((4, 4, nby, nbx), np.int32)
-    cost_eo = np.zeros((4, nby, nbx), np.int64)
+    offs_cat = []
+    cost_eo = None
     for cat in range(4):
         sign = 1 if cat < 2 else -1
-        h, c = _best_offset(ke[:, cat], se[:, cat], lam_fx, sign)
-        offs[:, cat] = h
-        cost_eo += c
-    hb, cb = _best_offset(kb, sb, lam_fx, 0)
-    win_costs = np.stack([cb[p:p + 4].sum(axis=0) for p in range(29)])
-    band_pos = np.argmin(win_costs, axis=0)
-    bo_cost = np.min(win_costs, axis=0)
-    bo_off = np.stack([np.take_along_axis(hb, (band_pos + i)[None], 0)[0]
+        h, c = _best_offset(ke[:, cat], se[:, cat], lam_fx, sign, xp=xp)
+        offs_cat.append(h)
+        cost_eo = c if cost_eo is None else cost_eo + c
+    offs = xp.stack(offs_cat, axis=1)                 # (4cls, 4cat, nby, nbx)
+    hb, cb = _best_offset(kb, sb, lam_fx, 0, xp=xp)
+    win_costs = xp.stack([cb[p:p + 4].sum(axis=0) for p in range(29)])
+    band_pos = xp.argmin(win_costs, axis=0)
+    bo_cost = xp.min(win_costs, axis=0)
+    bo_off = xp.stack([xp.take_along_axis(hb, (band_pos + i)[None], 0)[0]
                        for i in range(4)])
     return dict(cost_eo=cost_eo, eo_offs=offs, band_pos=band_pos,
                 bo_cost=bo_cost, bo_off=bo_off,
-                zero=np.zeros((nby, nbx), np.int64))
+                zero=xp.zeros((nby, nbx), acc))
 
 
 def _sao_jits():
@@ -383,31 +427,8 @@ def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
         st.append(flat[o:o + 16].reshape(4, 4, nby, nbx)); o += 16
         st.append(flat[o:o + 32]); o += 32
         st.append(flat[o:o + 32]); o += 32
-    lam_y = int(tables.LAMBDA_FX[min(qp, 51)])
-    lam_c = int(tables.LAMBDA_FX[min(qp_c, 51)])
-
-    ccy = _component_costs_from_stats(*st[0:4], lam_y)
-    ccb = _component_costs_from_stats(*st[4:8], lam_c)
-    ccr = _component_costs_from_stats(*st[8:12], lam_c)
-
-    cost_eo = ccy["cost_eo"] + ((lam_y * 6) >> 8)
-    cls = np.argmin(cost_eo, axis=0)
-    eo_cost = np.take_along_axis(cost_eo, cls[None], axis=0)[0]
-    bo_cost = ccy["bo_cost"] + ((lam_y * 10) >> 8)
-    off_cost = ccy["zero"] + ((lam_y * 1) >> 8)
-    typ = np.argmin(np.stack([off_cost, bo_cost, eo_cost]), axis=0)
-    luma = _pack(typ, cls, ccy["band_pos"], ccy["bo_off"], ccy["eo_offs"])
-
-    cost_eo_c = ccb["cost_eo"] + ccr["cost_eo"] + ((lam_c * 6) >> 8)
-    cls_c = np.argmin(cost_eo_c, axis=0)
-    eo_cost_c = np.take_along_axis(cost_eo_c, cls_c[None], axis=0)[0]
-    bo_cost_c = ccb["bo_cost"] + ccr["bo_cost"] + ((lam_c * 16) >> 8)
-    off_cost_c = ccb["zero"] + ((lam_c * 1) >> 8)
-    typ_c = np.argmin(np.stack([off_cost_c, bo_cost_c, eo_cost_c]), axis=0)
-    cbp = _pack(typ_c, cls_c, ccb["band_pos"], ccb["bo_off"], ccb["eo_offs"])
-    crp = _pack(typ_c, cls_c, ccr["band_pos"], ccr["bo_off"], ccr["eo_offs"])
-
-    ml, mu = derive_merge_flags(luma, cbp, crp)
+    luma, cbp, crp, ml, mu = derive_all_from_stats(
+        tuple(st[0:4]), tuple(st[4:8]), tuple(st[8:12]), qp, qp_c, xp=np)
 
     def pk(par):
         return np.concatenate([par["type"][..., None],

@@ -1,0 +1,252 @@
+"""Chunked multi-frame P pipeline: K frames per device dispatch.
+
+TPU-native analog of the reference's frame-parallel engine loop
+(hmr_encoder_lib.c:3132-3412, num_enc_engines engine threads sharing a
+reconstruction ring via semaphores): K consecutive P frames run as ONE
+lax.scan whose carry is the device-resident decoded-picture state
+(deblocked + SAO-filtered reference planes). The scan body runs the full
+inter stage (ME from pooled 16-SAD grids, subpel refine, residual coding),
+the loop filters, AND the SAO parameter derivation (ops/sao.py
+derive_all_from_stats, xp=jnp) — the reference loop never touches the
+host, so the per-dispatch round-trip latency is paid once per chunk.
+
+The host receives one compacted int32 'wire' row per frame: decisions
+(16-granular depth + MV), per-CTU SAD (scene-cut signal), SAO params, and
+the nonzero 4x4 coefficient sub-blocks under a fixed capacity — everything
+the CABAC stage needs. Frames whose coded-sub-block count overflows the
+capacity fall back to fetching that frame's dense level planes (also
+returned, stacked per chunk, but normally never fetched).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..ops import deblock as dbk
+from ..ops import sao as sao_ops
+from .p_golden import PAD
+from . import p_jax
+
+I32 = jnp.int32
+
+
+def _to4(plane):
+    """(h, w) int -> (h*w/16, 16) int16 rows of 4x4 sub-blocks."""
+    h, w = plane.shape
+    return (plane.reshape(h // 4, 4, w // 4, 4).transpose(0, 2, 1, 3)
+            .reshape(-1, 16).astype(jnp.int16))
+
+
+def _from4(rows, h, w):
+    """Host-side inverse of _to4 (numpy)."""
+    return (rows.reshape(h // 4, w // 4, 4, 4).transpose(0, 2, 1, 3)
+            .reshape(h, w))
+
+
+def _pk_params(par):
+    """SAO param dict -> (nby, nbx, 7) int32 (device or host)."""
+    xp = jnp if not isinstance(par["type"], np.ndarray) else np
+    return xp.concatenate(
+        [par["type"][..., None].astype(xp.int32),
+         par["eo_class"][..., None].astype(xp.int32),
+         par["band_pos"][..., None].astype(xp.int32),
+         par["offsets"].astype(xp.int32)], -1)
+
+
+def wire_layout(H: int, W: int, ctu: int, cap: int):
+    """Static per-frame wire layout: list of (name, shape) in int32 words."""
+    uh, uw = H // 4, W // 4
+    h16, w16 = H // 16, W // 16
+    nby, nbx = H // ctu, W // ctu
+    return [
+        ("cnt", (1,)),
+        ("depth16", (h16, w16)),
+        ("mv16", (h16, w16, 2)),
+        ("sad", (nby, nbx)),
+        ("sao_pp", (3, nby, nbx, 7)),
+        ("merge", (2, nby, nbx)),
+        ("idx", (cap,)),
+        ("vals", (cap, 8)),          # (cap, 16) int16 bitcast to (cap, 8)
+    ]
+
+
+def unpack_wire(row: np.ndarray, H: int, W: int, ctu: int, cap: int):
+    """Host-side wire row -> dict of numpy arrays (vals back as int16)."""
+    out = {}
+    o = 0
+    for name, shape in wire_layout(H, W, ctu, cap):
+        n = int(np.prod(shape))
+        out[name] = row[o:o + n].reshape(shape)
+        o += n
+    out["vals"] = np.ascontiguousarray(out["vals"]).view(np.int16)
+    return out
+
+
+def scatter_levels(idx: np.ndarray, vals: np.ndarray, cnt: int,
+                   H: int, W: int):
+    """Rebuild dense level planes from compacted 4x4 sub-blocks (host)."""
+    ny4 = (H // 4) * (W // 4)
+    nc4 = (H // 8) * (W // 8)
+    L4 = ny4 + 2 * nc4
+    dense = np.zeros((L4, 16), np.int32)
+    ii = idx[:cnt]
+    dense[ii] = vals[:cnt]
+    lev_y = _from4(dense[:ny4], H, W)
+    lev_u = _from4(dense[ny4:ny4 + nc4], H // 2, W // 2)
+    lev_v = _from4(dense[ny4 + nc4:], H // 2, W // 2)
+    return lev_y, lev_u, lev_v
+
+
+def _sao_device(cur, rec, ctu: int, qp: int, qp_c: int):
+    """In-jit SAO stage: stats -> derive (int32) -> apply. Returns
+    (packed params (3, nby, nbx, 7), merge (2, nby, nbx), filtered)."""
+    y, u, v = cur
+    ry, ru, rv = rec
+    st_y = sao_ops._stats_device_one(y, ry, ctu, jnp)
+    st_cb = sao_ops._stats_device_one(u, ru, ctu // 2, jnp)
+    st_cr = sao_ops._stats_device_one(v, rv, ctu // 2, jnp)
+    luma, cbp, crp, ml, mu = sao_ops.derive_all_from_stats(
+        st_y, st_cb, st_cr, qp, qp_c, xp=jnp)
+
+    def apply_one(rec_p, par, c):
+        return sao_ops.apply_sao(rec_p, par, c, xp=jnp).astype(jnp.uint8)
+
+    fy = apply_one(ry, luma, ctu)
+    fu = apply_one(ru, cbp, ctu // 2)
+    fv = apply_one(rv, crp, ctu // 2)
+    pp = jnp.stack([_pk_params(luma), _pk_params(cbp), _pk_params(crp)])
+    merge = jnp.stack([ml, mu]).astype(I32)
+    return pp, merge, (fy, fu, fv)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ctu", "search", "me_precision",
+                                    "sign_hiding", "deblock", "sao", "cap",
+                                    "tree"))
+def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
+                   search: int, me_precision: int, sign_hiding: bool,
+                   deblock: bool, sao: bool, cap: int, tree: bool):
+    """Encode K consecutive P frames in one dispatch.
+
+    ys (K, H, W) uint8 etc.; qps (K,) int32. Returns (wires (K, L) int32,
+    denses (K, D) int16, final reference planes)."""
+    K, H, W = ys.shape
+    uh, uw = H // 4, W // 4
+    nby, nbx = H // ctu, W // ctu
+    ny4 = uh * uw
+    nc4 = (H // 8) * (W // 8)
+    L4 = ny4 + 2 * nc4
+
+    def body(refs, xs):
+        ry8, ru8, rv8 = refs
+        y, u, v, qp = xs
+        ryp = jnp.pad(ry8.astype(I32), PAD, mode="edge")
+        rup = jnp.pad(ru8.astype(I32), PAD // 2, mode="edge")
+        rvp = jnp.pad(rv8.astype(I32), PAD // 2, mode="edge")
+        if tree:
+            res = p_jax._p_stage_tree(
+                y, u, v, ryp, rup, rvp, ctu=ctu, qp=qp, search=search,
+                me_precision=me_precision, sign_hiding=sign_hiding)
+            depth_u = res["depth_u"]
+            mv_u = res["mv_u"]
+            cbf_u = res["cbf_u"]
+            sad = res["sad"]
+            lev_yp = res["lev_y"]          # whole-frame level planes (int16)
+            lev_up = res["lev_u"]
+            lev_vp = res["lev_v"]
+            rec = (res["recon_y"].astype(I32), res["recon_u"].astype(I32),
+                   res["recon_v"].astype(I32))
+            if deblock:
+                bs_v, bs_h = dbk.inter_bs_from_units(
+                    depth_u, mv_u, cbf_u, ctu.bit_length() - 1, xp=jnp)
+        else:
+            res = p_jax._p_stage(y, u, v, ryp, rup, rvp, B=ctu, qp=qp,
+                                 search=search, me_precision=me_precision,
+                                 sign_hiding=sign_hiding)
+            mvs = res["mvs"]
+            sad = res["sad"]
+            r4 = ctu // 4
+
+            def upu(a):
+                return jnp.repeat(jnp.repeat(a, r4, axis=0), r4, axis=1)
+
+            depth_u = jnp.zeros((uh, uw), I32)
+            mv_u = jnp.stack([upu(mvs[..., 0]), upu(mvs[..., 1])], -1)
+
+            def to_plane(blocks):
+                nb_y, nb_x, nb, _ = blocks.shape
+                return blocks.transpose(0, 2, 1, 3).reshape(nb_y * nb,
+                                                            nb_x * nb)
+
+            lev_yp = to_plane(res["lev_y"])
+            lev_up = to_plane(res["lev_u"])
+            lev_vp = to_plane(res["lev_v"])
+            rec = (res["recon_y"].astype(I32), res["recon_u"].astype(I32),
+                   res["recon_v"].astype(I32))
+            if deblock:
+                cbf_blk = jnp.any(res["lev_y"] != 0, axis=(-1, -2))
+                qcbf = None
+                if ctu == 64:
+                    qcbf = jnp.any(
+                        res["lev_y"].reshape(nby, nbx, 2, 32, 2, 32) != 0,
+                        axis=(3, 5))
+                bs_v, bs_h = dbk.inter_bs_from_blocks(mvs, cbf_blk, ctu,
+                                                      xp=jnp, qcbf=qcbf)
+        if deblock:
+            qp_map = jnp.full((uh, uw), qp, I32)
+            fy, fu, fv = dbk.deblock_frame(rec[0], rec[1], rec[2], bs_v=bs_v,
+                                           bs_h=bs_h, qp_map=qp_map, xp=jnp)
+        else:
+            fy, fu, fv = rec
+        fy = fy.astype(jnp.uint8)
+        fu = fu.astype(jnp.uint8)
+        fv = fv.astype(jnp.uint8)
+
+        if sao:
+            qp_c = tables.chroma_qp_from_luma(qp, xp=jnp)
+            pp, merge, (fy, fu, fv) = _sao_device(
+                (y.astype(I32), u.astype(I32), v.astype(I32)),
+                (fy.astype(I32), fu.astype(I32), fv.astype(I32)),
+                ctu, qp, qp_c)
+            fy, fu, fv = (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
+                          fv.astype(jnp.uint8))
+        else:
+            pp = jnp.zeros((3, nby, nbx, 7), I32)
+            merge = jnp.zeros((2, nby, nbx), I32)
+
+        # ---- compact the level planes: nonzero 4x4 sub-blocks ----
+        lv4 = jnp.concatenate([_to4(lev_yp), _to4(lev_up), _to4(lev_vp)])
+        nzm = jnp.any(lv4 != 0, axis=1)
+        cnt = jnp.sum(nzm.astype(I32))
+        (idx,) = jnp.nonzero(nzm, size=cap, fill_value=L4)
+        vals = jnp.take(lv4, jnp.minimum(idx, L4 - 1), axis=0)
+        vals = jnp.where((idx < L4)[:, None], vals, 0)
+        vals32 = jax.lax.bitcast_convert_type(
+            vals.reshape(cap, 8, 2), I32).reshape(cap, 8)
+
+        wire = jnp.concatenate([
+            cnt.reshape(1),
+            depth_u[::4, ::4].reshape(-1),
+            mv_u[::4, ::4].reshape(-1),
+            sad.reshape(-1),
+            pp.reshape(-1),
+            merge.reshape(-1),
+            idx.astype(I32),
+            vals32.reshape(-1),
+        ])
+        dense = jnp.concatenate([
+            lev_yp.astype(jnp.int16).reshape(-1),
+            lev_up.astype(jnp.int16).reshape(-1),
+            lev_vp.astype(jnp.int16).reshape(-1),
+        ])
+        return (fy, fu, fv), (wire, dense)
+
+    (fy, fu, fv), (wires, denses) = jax.lax.scan(
+        body, (ref_y, ref_u, ref_v),
+        (ys, us, vs, qps.astype(I32)))
+    return wires, denses, fy, fu, fv
