@@ -34,6 +34,18 @@ def _pad_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.pad(a, ((0, ph), (0, pw)), mode="edge")
 
 
+
+def _tree_decisions(depth_u, mv_u, nz_u, ctu_log2: int, n_cand: int = 5):
+    """Merge/skip/AMVP decision walk: native C++ when available, Python
+    golden twin otherwise (bit-identical; tests/test_native_entropy.py)."""
+    from .entropy import native_backend
+    dec = native_backend.derive_tree_decisions_native(depth_u, mv_u, nz_u,
+                                                      ctu_log2, n_cand)
+    if dec is None:
+        from .ops.inter_golden import derive_tree_decisions
+        dec, _ = derive_tree_decisions(depth_u, mv_u, nz_u, ctu_log2, n_cand)
+    return dec
+
 class HomerEncoder:
     """Streaming HEVC encoder session (IDR + P low-delay structure)."""
 
@@ -330,7 +342,6 @@ class HomerEncoder:
         """Fetch + host-process one dispatched chunk. Returns None, or
         'scene' after a scene-cut fallback re-encode."""
         from .entropy import native_backend
-        from .ops.inter_golden import derive_tree_decisions
         from .pipeline import p_chunk
 
         c = self.cfg
@@ -377,8 +388,7 @@ class HomerEncoder:
             nz_v = np.any(lev_v.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
             nz = nz_y | nz_u | nz_v
             with self.prof.probe("chunk.decisions"):
-                dec, _ = derive_tree_decisions(depth_u, mv_u, nz,
-                                               self.ctu_log2, 5)
+                dec = _tree_decisions(depth_u, mv_u, nz, self.ctu_log2, 5)
                 maps = native_backend.maps_from_p_units(depth_u, dec, lev_y,
                                                         lev_u, lev_v)
             sao_info = None
@@ -412,7 +422,6 @@ class HomerEncoder:
         """P frame through the inter CU quadtree device stage. Returns the
         AU, or None on a detected scene cut (caller re-encodes as IDR)."""
         from .entropy import native_backend
-        from .ops.inter_golden import derive_tree_decisions
         from .pipeline import p_jax
 
         c = self.cfg
@@ -451,8 +460,7 @@ class HomerEncoder:
         lev_vp = wire[npix + npix // 4:npix + npix // 2].reshape(
             self.ph // 2, self.pw // 2)
         with self.prof.probe("p.decisions+maps"):
-            dec, _ = derive_tree_decisions(depth_u, mv_u, nz_u,
-                                           self.ctu_log2, 5)
+            dec = _tree_decisions(depth_u, mv_u, nz_u, self.ctu_log2, 5)
             maps = native_backend.maps_from_p_units(depth_u, dec, lev_yp,
                                                     lev_up, lev_vp)
         key = "ref" if deblk else "recon"

@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <vector>
 
 #include "layout.h"
@@ -930,5 +931,163 @@ int henc_encode_slice(const SliceParams* sp, const int8_t* depth,
   if ((int)bw.buf.size() > out_cap) return -1;
   std::memcpy(out, bw.buf.data(), bw.buf.size());
   return (int)bw.buf.size();
+}
+
+// ---------------------------------------------------------------------------
+// Inter merge/skip/AMVP decision walk over the variable-depth CU quadtree.
+// Native twin of ops/inter_golden.py derive_tree_decisions (decoder-exact
+// candidate derivation, spec 8.5.3.2.3 / 8.5.3.2.6; role of the reference's
+// hmr_motion_inter.c:1937-2470) — the walk is sequential in decode order
+// (each CU's candidates read previously coded CUs' motion), so it stays on
+// the host; C++ removes the per-CU Python overhead from the frame loop.
+
+namespace {
+
+struct DecCtx {
+  const int32_t* mv;    // (uh, uw, 2) motion field being built
+  int32_t* fmv;         // output field mv
+  int32_t* fref;        // output field ref (-2 uncoded, 0 inter)
+  int uh, uw;
+
+  // packed unit: ref<0 -> unavailable; else (mvx, mvy)
+  inline bool inter_at(int x, int y, int32_t* mvxy) const {
+    if (x < 0 || y < 0 || x >= uw * 4 || y >= uh * 4) return false;
+    int ux = x >> 2, uy = y >> 2;
+    if (fref[uy * uw + ux] < 0) return false;
+    mvxy[0] = fmv[(uy * uw + ux) * 2];
+    mvxy[1] = fmv[(uy * uw + ux) * 2 + 1];
+    return true;
+  }
+};
+
+inline int mv_bits_fx_c(int32_t dx, int32_t dy) {
+  auto comp = [](int32_t c) {
+    unsigned a = c < 0 ? -c : c;
+    int bl = 0;
+    while (a) { bl++; a >>= 1; }
+    return 1 + 2 * bl;
+  };
+  return comp(dx) + comp(dy);
+}
+
+}  // namespace
+
+// depth_u (uh,uw) i32, mv_u (uh,uw,2) i32, has_resid_u (uh,uw) u8 ->
+// skip/merge (u8), merge_idx/mvp_idx (i8), mvd (i32 x2), all per unit.
+int henc_derive_tree_decisions(const int32_t* depth_u, const int32_t* mv_u,
+                               const uint8_t* has_resid_u, int uh, int uw,
+                               int ctu_log2, int max_merge_cand,
+                               uint8_t* skip_u, uint8_t* merge_u,
+                               int8_t* midx_u, int8_t* mvp_u,
+                               int32_t* mvd_u) {
+  int W = uw * 4, H = uh * 4, ctu = 1 << ctu_log2;
+  std::vector<int32_t> fmv(uh * uw * 2, 0), fref(uh * uw, -2);
+  DecCtx cx{mv_u, fmv.data(), fref.data(), uh, uw};
+  std::memset(skip_u, 0, uh * uw);
+  std::memset(merge_u, 0, uh * uw);
+  std::memset(midx_u, 0, uh * uw);
+  std::memset(mvp_u, 0, uh * uw);
+  std::memset(mvd_u, 0, sizeof(int32_t) * uh * uw * 2);
+
+  // leaf: derive merge/AMVP exactly as the Python golden walk
+  auto leaf = [&](int x0, int y0, int size) {
+    int ux = x0 >> 2, uy = y0 >> 2, un = size >> 2;
+    int32_t mvx = mv_u[(uy * uw + ux) * 2], mvy = mv_u[(uy * uw + ux) * 2 + 1];
+    bool hr = false;
+    for (int r = uy; r < uy + un && !hr; r++)
+      for (int c = ux; c < ux + un; c++)
+        if (has_resid_u[r * uw + c]) { hr = true; break; }
+
+    // merge list (spatial A1/B1/B0/A0/B2 + zero fill)
+    int32_t a1[2], b1[2], b0[2], a0[2], b2[2];
+    bool ha1 = cx.inter_at(x0 - 1, y0 + size - 1, a1);
+    bool hb1 = cx.inter_at(x0 + size - 1, y0 - 1, b1);
+    bool hb0 = cx.inter_at(x0 + size, y0 - 1, b0);
+    bool ha0 = cx.inter_at(x0 - 1, y0 + size, a0);
+    bool hb2 = cx.inter_at(x0 - 1, y0 - 1, b2);
+    int32_t cands[5][2];
+    int nc = 0, n_spatial = 0;
+    auto eq = [](const int32_t* p, const int32_t* q) {
+      return p[0] == q[0] && p[1] == q[1];
+    };
+    if (ha1) { cands[nc][0] = a1[0]; cands[nc][1] = a1[1]; nc++; n_spatial++; }
+    if (hb1) {
+      n_spatial++;
+      if (!ha1 || !eq(b1, a1)) { cands[nc][0] = b1[0]; cands[nc][1] = b1[1]; nc++; }
+    }
+    if (hb0) {
+      n_spatial++;
+      if (!hb1 || !eq(b0, b1)) { cands[nc][0] = b0[0]; cands[nc][1] = b0[1]; nc++; }
+    }
+    if (ha0) {
+      n_spatial++;
+      if (!ha1 || !eq(a0, a1)) { cands[nc][0] = a0[0]; cands[nc][1] = a0[1]; nc++; }
+    }
+    if (n_spatial != 4 && hb2 && (!ha1 || !eq(b2, a1)) && (!hb1 || !eq(b2, b1))) {
+      cands[nc][0] = b2[0]; cands[nc][1] = b2[1]; nc++;
+    }
+    if (nc > max_merge_cand) nc = max_merge_cand;
+    while (nc < max_merge_cand) { cands[nc][0] = 0; cands[nc][1] = 0; nc++; }
+
+    int mi = -1;
+    for (int i = 0; i < nc; i++)
+      if (cands[i][0] == mvx && cands[i][1] == mvy) { mi = i; break; }
+
+    if (mi >= 0) {
+      for (int r = uy; r < uy + un; r++)
+        for (int c = ux; c < ux + un; c++) {
+          merge_u[r * uw + c] = 1;
+          midx_u[r * uw + c] = (int8_t)mi;
+          skip_u[r * uw + c] = hr ? 0 : 1;
+        }
+    } else {
+      // AMVP (spec 8.5.3.2.6, one ref pic, no TMVP)
+      int32_t mva[2], mvb[2];
+      bool hma = cx.inter_at(x0 - 1, y0 + size, mva) ||
+                 cx.inter_at(x0 - 1, y0 + size - 1, mva);
+      bool hmb = cx.inter_at(x0 + size, y0 - 1, mvb) ||
+                 cx.inter_at(x0 + size - 1, y0 - 1, mvb) ||
+                 cx.inter_at(x0 - 1, y0 - 1, mvb);
+      int32_t amvp[2][2] = {{0, 0}, {0, 0}};
+      int na = 0;
+      if (hma) { amvp[na][0] = mva[0]; amvp[na][1] = mva[1]; na++; }
+      if (hmb && (!hma || mvb[0] != mva[0] || mvb[1] != mva[1])) {
+        amvp[na][0] = mvb[0]; amvp[na][1] = mvb[1]; na++;
+      }
+      int bts0 = mv_bits_fx_c(mvx - amvp[0][0], mvy - amvp[0][1]);
+      int bts1 = mv_bits_fx_c(mvx - amvp[1][0], mvy - amvp[1][1]);
+      int k = bts0 <= bts1 ? 0 : 1;
+      for (int r = uy; r < uy + un; r++)
+        for (int c = ux; c < ux + un; c++) {
+          mvp_u[r * uw + c] = (int8_t)k;
+          mvd_u[(r * uw + c) * 2] = mvx - amvp[k][0];
+          mvd_u[(r * uw + c) * 2 + 1] = mvy - amvp[k][1];
+        }
+    }
+    for (int r = uy; r < uy + un; r++)
+      for (int c = ux; c < ux + un; c++) {
+        fmv.data()[(r * uw + c) * 2] = mvx;
+        fmv.data()[(r * uw + c) * 2 + 1] = mvy;
+        fref.data()[r * uw + c] = 0;
+      }
+  };
+
+  // z-order walk per CTU (decode order)
+  std::function<void(int, int, int, int)> walk = [&](int x0, int y0, int size,
+                                                     int depth) {
+    if (x0 >= W || y0 >= H) return;
+    if (depth_u[(y0 >> 2) * uw + (x0 >> 2)] > depth) {
+      int h = size >> 1;
+      walk(x0, y0, h, depth + 1);
+      walk(x0 + h, y0, h, depth + 1);
+      walk(x0, y0 + h, h, depth + 1);
+      walk(x0 + h, y0 + h, h, depth + 1);
+      return;
+    }
+    leaf(x0, y0, size);
+  };
+  for (int y0 = 0; y0 < H; y0 += ctu)
+    for (int x0 = 0; x0 < W; x0 += ctu) walk(x0, y0, ctu, 0);
+  return 0;
 }
 }

@@ -81,6 +81,32 @@ def available() -> bool:
     return _load() is not None
 
 
+def derive_tree_decisions_native(depth_u, mv_u, has_resid_u, ctu_log2: int,
+                                 max_merge_cand: int = 5):
+    """C++ twin of ops.inter_golden.derive_tree_decisions (same sequential
+    decode-order walk, ~30x faster). Returns the decisions dict; None if the
+    native library is unavailable (caller falls back to Python)."""
+    lib = _load()
+    if lib is None:
+        return None
+    uh, uw = depth_u.shape
+    depth = _i32(depth_u)
+    mv = _i32(mv_u)
+    resid = _u8(has_resid_u)
+    skip = np.zeros((uh, uw), np.uint8)
+    merge = np.zeros((uh, uw), np.uint8)
+    midx = np.zeros((uh, uw), np.int8)
+    mvp = np.zeros((uh, uw), np.int8)
+    mvd = np.zeros((uh, uw, 2), np.int32)
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.henc_derive_tree_decisions(
+        p(depth), p(mv), p(resid), ctypes.c_int(uh), ctypes.c_int(uw),
+        ctypes.c_int(ctu_log2), ctypes.c_int(max_merge_cand),
+        p(skip), p(merge), p(midx), p(mvp), p(mvd))
+    return dict(skip=skip.astype(bool), merge=merge.astype(bool),
+                merge_idx=midx, mvp_idx=mvp, mvd=mvd)
+
+
 def _c8(a):
     return np.ascontiguousarray(a, dtype=np.int8)
 

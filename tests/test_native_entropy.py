@@ -55,3 +55,34 @@ def test_ctu16_equal():
     nat = native_backend.encode_slice_data_native(
         p, plan.ctu_plans, slice_qp=28, slice_type=headers.SLICE_I)
     assert py == nat
+
+
+def test_native_tree_decisions_match_python():
+    """C++ decision walk == Python golden walk on random quadtrees."""
+    from homerhevc_tpu.entropy import native_backend
+    from homerhevc_tpu.ops.inter_golden import derive_tree_decisions
+    if not native_backend.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for ctu_log2, (uh, uw) in [(5, (24, 32)), (6, (32, 48))]:
+        step = (1 << ctu_log2) // 4
+        depth = np.zeros((uh, uw), np.int32)
+        for r in range(0, uh, step):
+            for c in range(0, uw, step):
+                d = int(rng.integers(0, 3))
+                depth[r:r+step, c:c+step] = d
+                if d >= 1:  # random deeper split of one quadrant
+                    h = step // 2
+                    q = int(rng.integers(0, 4))
+                    ro, co = r + (q // 2) * h, c + (q % 2) * h
+                    depth[ro:ro+h, co:co+h] = d + int(rng.integers(0, 2))
+        # constant MV over each depth-region leaf: emulate by unit-level MVs
+        # snapped per 4-unit block (good enough: walk reads corner unit)
+        mv = rng.integers(-32, 33, (uh, uw, 2)).astype(np.int32)
+        mv = np.repeat(np.repeat(mv[::4, ::4], 4, 0), 4, 1)[:uh, :uw]
+        nz = rng.random((uh, uw)) < 0.4
+        want, _ = derive_tree_decisions(depth, mv, nz, ctu_log2, 5)
+        got = native_backend.derive_tree_decisions_native(depth, mv, nz,
+                                                          ctu_log2, 5)
+        for k in want:
+            assert np.array_equal(want[k], got[k]), (ctu_log2, k)
