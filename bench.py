@@ -50,7 +50,7 @@ def main():
     cfg = EncoderConfig(width=W, height=H, qp=QP, cu_size=32,
                         intra_period=100, sign_hiding=True,
                         sample_adaptive_offset=True, deblocking=True,
-                        me_search_range=16,
+                        me_search_range=64,
                         performance_mode=PerformanceMode.FAST_COMPUTATION)
     enc = HomerEncoder(cfg, backend="jax", fetch_recon=False)
 

@@ -93,6 +93,7 @@ class HomerEncoder:
         self.last_recon = None    # cropped decoder-identical output
         self.last_qp = c.qp
         self.frame_bytes = []
+        self.chunk_overflows = 0
         # rate control (host-side scalar state; hmr_rate_control.c role)
         self._rc = None
         if c.bitrate_mode != BitrateMode.FIXED_QP:
@@ -334,9 +335,12 @@ class HomerEncoder:
 
     @property
     def _chunk_cap(self):
-        # capacity of the compacted coded-sub-block fetch: 1/8 of all 4x4s
+        # capacity of the compacted coded-sub-block fetch: 1/32 of all 4x4s
+        # (typical P frames code far fewer; overflow falls back to the dense
+        # fetch, counted in chunk_overflows). The wire fetch rides a
+        # ~25 MB/s tunnel in this deployment, so idx+vals dominate its cost.
         L4 = (self.ph // 4) * (self.pw // 4) * 3 // 2
-        return max(1024, L4 // 8)
+        return max(1024, L4 // 32)
 
     def _finish_chunk(self, pending, aus, frames):
         """Fetch + host-process one dispatched chunk. Returns None, or
@@ -371,6 +375,7 @@ class HomerEncoder:
                     lev_y, lev_u, lev_v = p_chunk.scatter_levels(
                         w["idx"], w["vals"], min(cnt, cap), self.ph, self.pw)
                 else:                      # capacity overflow: dense fetch
+                    self.chunk_overflows += 1
                     d = np.asarray(denses[row_i])
                     npix = self.ph * self.pw
                     lev_y = d[:npix].reshape(self.ph, self.pw).astype(np.int32)
@@ -394,16 +399,11 @@ class HomerEncoder:
             sao_info = None
             if c.sample_adaptive_offset:
                 pp = w["sao_pp"]
-
-                def unpk(k):
-                    return dict(type=pp[k][..., 0].astype(np.int8),
-                                eo_class=pp[k][..., 1].astype(np.int8),
-                                band_pos=pp[k][..., 2].astype(np.int8),
-                                offsets=pp[k][..., 3:7].astype(np.int8))
-
-                sao_info = dict(luma=unpk(0), cb=unpk(1), cr=unpk(2),
-                                merge_left=w["merge"][0].astype(bool),
-                                merge_up=w["merge"][1].astype(bool),
+                luma, ml, mu = p_chunk._unpk_params(pp[0])
+                cb, _, _ = p_chunk._unpk_params(pp[1])
+                cr, _, _ = p_chunk._unpk_params(pp[2])
+                sao_info = dict(luma=luma, cb=cb, cr=cr,
+                                merge_left=ml, merge_up=mu,
                                 sao_luma=True, sao_chroma=True)
             with self.prof.probe("chunk.entropy"):
                 au = assemble.assemble_p_au_from_maps(

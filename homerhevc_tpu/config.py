@@ -66,7 +66,8 @@ class EncoderConfig:
     num_b: int = 0
     num_ref_frames: int = 1
     motion_estimation_precision: MEPrecision = MEPrecision.QUARTER_PEL
-    me_search_range: int = 16         # integer-pel full-search window radius
+    me_search_range: int = 16         # integer-pel window radius; > 24 uses
+                                      # the hierarchical coarse+refine search
 
     # Rate control.
     qp: int = 32
@@ -110,6 +111,16 @@ class EncoderConfig:
             raise ValueError("width/height must be even for YUV420")
         if cfg.num_ref_frames < 1:
             cfg.num_ref_frames = 1
+        # ME window vs reference-plane padding (pipeline/p_golden.PAD=72):
+        # dense sweep (<=24) and hierarchical coarse+refine (<=64, 4-aligned)
+        # both need MC support (search + 8-tap) inside the pad — reject
+        # ranges that would silently read wrapped/clamped reference pixels.
+        if cfg.me_search_range < 1 or cfg.me_search_range > 64:
+            raise ValueError(
+                f"me_search_range must be in 1..64, got {cfg.me_search_range}")
+        if cfg.me_search_range > 24 and cfg.me_search_range % 4:
+            raise ValueError("me_search_range > 24 (hierarchical search) "
+                             "must be a multiple of 4")
         return cfg
 
     # --- Derived geometry -------------------------------------------------

@@ -53,57 +53,66 @@ def sign_bit_hiding(levels: jax.Array, coeffs: jax.Array, qp,
     scale = jnp.asarray(t.QUANT_SCALES)[qp % 6]
 
     lead = levels.shape[:-2]
+    import math
+    L = int(math.prod(lead)) if lead else 1
     G = (n * n) // 16
-    ls = levels.reshape(*lead, n * n)[..., scan].reshape(*lead, G, 16)
-    cs = coeffs.reshape(*lead, n * n)[..., scan].reshape(*lead, G, 16)
+
+    # (pos, L) lane-major layout: the batch axis rides the 128 lanes; a
+    # (..., G, 16) layout would pad the 16-wide trailing axis to 128 lanes
+    # and inflate every elementwise op by 8x (measured 10 GB/frame -> this
+    # form is what makes whole-frame SBH affordable on TPU).
+    lv = levels.reshape(L, n * n).T                              # (nn, L)
+    cv = coeffs.reshape(L, n * n).T
+    ls = lv[scan, :].reshape(G, 16, L)
+    cs = cv[scan, :].reshape(G, 16, L)
     mag = jnp.abs(ls)
     nz = ls != 0
-    idx = jnp.arange(16, dtype=jnp.int32)
+    idx = jnp.arange(16, dtype=jnp.int32)[None, :, None]         # (1, 16, 1)
     BIGI = jnp.int32(99)
-    first = jnp.min(jnp.where(nz, idx, BIGI), axis=-1)          # (..., G)
-    last = jnp.max(jnp.where(nz, idx, -1), axis=-1)
-    has = jnp.any(nz, axis=-1)
+    first = jnp.min(jnp.where(nz, idx, BIGI), axis=1)            # (G, L)
+    last = jnp.max(jnp.where(nz, idx, -1), axis=1)
+    has = jnp.any(nz, axis=1)
     sign_flag = jnp.take_along_axis(
-        ls, jnp.clip(first, 0, 15)[..., None], axis=-1)[..., 0] < 0
-    parity = (jnp.sum(mag, axis=-1) & 1).astype(jnp.int32)
+        ls, jnp.clip(first, 0, 15)[:, None, :], axis=1)[:, 0, :] < 0
+    parity = (jnp.sum(mag, axis=1) & 1).astype(jnp.int32)
     need = has & (last - first > 3) & (parity != sign_flag.astype(jnp.int32))
 
-    exact9 = (jnp.abs(cs) * scale) >> (qbits - 9)               # (..., G, 16)
+    exact9 = (jnp.abs(cs) * scale) >> (qbits - 9)                # (G, 16, L)
     BIG = jnp.int32(1 << 30)
     cand_errs = []
     cand_mags = []
     for d in (1, -1):
         new_mag = mag + d
         invalid = (new_mag < 0) | (new_mag > 32767)
-        invalid |= (idx == first[..., None]) & (new_mag == 0)
+        invalid |= (idx == first[:, None, :]) & (new_mag == 0)
         is_zero = mag == 0
         if d < 0:
             invalid |= is_zero
         else:
-            invalid |= is_zero & (idx < first[..., None])
-        penalty = jnp.where(is_zero & (idx > last[..., None]) & (d > 0),
+            invalid |= is_zero & (idx < first[:, None, :])
+        penalty = jnp.where(is_zero & (idx > last[:, None, :]) & (d > 0),
                             1 << 26, 0)
         err = jnp.abs((new_mag << 9) - exact9) + penalty
         cand_errs.append(jnp.where(invalid, BIG, err))
         cand_mags.append(new_mag)
     # interleave so flat candidate order is (j, +1), (j, -1), matching the
     # golden loop; argmin picks the first minimum.
-    errs = jnp.stack(cand_errs, axis=-1).reshape(*lead, G, 32)
-    mags = jnp.stack(cand_mags, axis=-1).reshape(*lead, G, 32)
-    k = jnp.argmin(errs, axis=-1)                                # (..., G)
+    errs = jnp.stack(cand_errs, axis=2).reshape(G, 32, L)
+    mags = jnp.stack(cand_mags, axis=2).reshape(G, 32, L)
+    k = jnp.argmin(errs, axis=1)                                 # (G, L)
     bj = (k // 2).astype(jnp.int32)
-    new_mag_sel = jnp.take_along_axis(mags, k[..., None], axis=-1)[..., 0]
-    valid = jnp.take_along_axis(errs, k[..., None], axis=-1)[..., 0] < BIG
+    new_mag_sel = jnp.take_along_axis(mags, k[:, None, :], axis=1)[:, 0, :]
+    valid = jnp.take_along_axis(errs, k[:, None, :], axis=1)[:, 0, :] < BIG
 
-    orig_sel = jnp.take_along_axis(ls, bj[..., None], axis=-1)[..., 0]
-    csel = jnp.take_along_axis(cs, bj[..., None], axis=-1)[..., 0]
+    orig_sel = jnp.take_along_axis(ls, bj[:, None, :], axis=1)[:, 0, :]
+    csel = jnp.take_along_axis(cs, bj[:, None, :], axis=1)[:, 0, :]
     s = jnp.where(orig_sel != 0, jnp.where(orig_sel < 0, -1, 1),
                   jnp.where(csel < 0, -1, 1))
     newval = s * new_mag_sel
-    apply = (need & valid)[..., None] & (idx == bj[..., None])
-    out_scan = jnp.where(apply, newval[..., None], ls)
-    flat = out_scan.reshape(*lead, n * n)[..., inv]
-    return flat.reshape(levels.shape)
+    apply = ((need & valid)[:, None, :]) & (idx == bj[:, None, :])
+    out_scan = jnp.where(apply, newval[:, None, :], ls)
+    flat = out_scan.reshape(n * n, L)[inv, :]
+    return flat.T.reshape(levels.shape)
 
 
 def dequantize(level: jax.Array, qp, log2_size: int,

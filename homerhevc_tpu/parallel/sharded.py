@@ -57,16 +57,22 @@ def make_p_frame_sharded(mesh: Mesh, *, B: int, search: int,
 
     def band_fn(y, u, v, ry, ru, rv, qp):
         # shapes inside shard_map: (1, H/nb, W) etc.; qp replicated scalar
-        assert y.shape[1] >= PAD, \
-            f"band height {y.shape[1]} < halo {PAD}; use fewer bands"
+        # Halo = the rows the ME/MC window can actually read (search +
+        # 8-tap support), then edge-padded up to the global PAD so the
+        # in-band indexing matches the single-device layout; the outer
+        # (PAD - halo) ring is never read.
+        halo = min(PAD, ((search + 8 + 3) // 4) * 4)
+        assert y.shape[1] >= halo, \
+            f"band height {y.shape[1]} < halo {halo}; use fewer bands"
         y, u, v = y[0], u[0], v[0]
         ry, ru, rv = ry[0], ru[0], rv[0]
-        ry_e = _halo_extend(ry.astype(I32), PAD, "band", nb)
-        ru_e = _halo_extend(ru.astype(I32), PAD // 2, "band", nb)
-        rv_e = _halo_extend(rv.astype(I32), PAD // 2, "band", nb)
-        ry_p = jnp.pad(ry_e, ((0, 0), (PAD, PAD)), mode="edge")
-        ru_p = jnp.pad(ru_e, ((0, 0), (PAD // 2, PAD // 2)), mode="edge")
-        rv_p = jnp.pad(rv_e, ((0, 0), (PAD // 2, PAD // 2)), mode="edge")
+        ry_e = _halo_extend(ry.astype(jnp.int16), halo, "band", nb)
+        ru_e = _halo_extend(ru.astype(jnp.int16), halo // 2, "band", nb)
+        rv_e = _halo_extend(rv.astype(jnp.int16), halo // 2, "band", nb)
+        e, e2 = PAD - halo, (PAD - halo) // 2
+        ry_p = jnp.pad(ry_e, ((e, e), (PAD, PAD)), mode="edge")
+        ru_p = jnp.pad(ru_e, ((e2, e2), (PAD // 2, PAD // 2)), mode="edge")
+        rv_p = jnp.pad(rv_e, ((e2, e2), (PAD // 2, PAD // 2)), mode="edge")
         out = _p_stage(y, u, v, ry_p, ru_p, rv_p, B=B, qp=qp[0],
                        search=search, me_precision=me_precision,
                        sign_hiding=sign_hiding)

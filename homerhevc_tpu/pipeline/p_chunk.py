@@ -48,35 +48,53 @@ def _from4(rows, h, w):
             .reshape(h, w))
 
 
-def _pk_params(par):
-    """SAO param dict -> (nby, nbx, 7) int32 (device or host)."""
+def _pk_params(par, merge=None):
+    """SAO param dict -> (nby, nbx) packed int32 word per CTU:
+    type(2b) | eo_class(2b) | band_pos(5b) | 4 x (offset+7)(4b);
+    bits 25/26 carry merge_left/up when `merge` is given (luma word)."""
     xp = jnp if not isinstance(par["type"], np.ndarray) else np
-    return xp.concatenate(
-        [par["type"][..., None].astype(xp.int32),
-         par["eo_class"][..., None].astype(xp.int32),
-         par["band_pos"][..., None].astype(xp.int32),
-         par["offsets"].astype(xp.int32)], -1)
+    t = par["type"].astype(xp.int32)
+    w = (t | (par["eo_class"].astype(xp.int32) << 2)
+         | (par["band_pos"].astype(xp.int32) << 4))
+    off = par["offsets"].astype(xp.int32) + 7      # (nby, nbx, 4) in [0, 14]
+    for i in range(4):
+        w = w | (off[..., i] << (9 + 4 * i))
+    if merge is not None:
+        ml, mu = merge
+        w = w | (ml.astype(xp.int32) << 25) | (mu.astype(xp.int32) << 26)
+    return w
+
+
+def _unpk_params(w):
+    """Host inverse of _pk_params -> (param dict, merge_left, merge_up)."""
+    off = np.stack([((w >> (9 + 4 * i)) & 15) - 7 for i in range(4)], -1)
+    par = dict(type=(w & 3).astype(np.int8),
+               eo_class=((w >> 2) & 3).astype(np.int8),
+               band_pos=((w >> 4) & 31).astype(np.int8),
+               offsets=off.astype(np.int8))
+    return par, ((w >> 25) & 1).astype(bool), ((w >> 26) & 1).astype(bool)
 
 
 def wire_layout(H: int, W: int, ctu: int, cap: int):
-    """Static per-frame wire layout: list of (name, shape) in int32 words."""
-    uh, uw = H // 4, W // 4
+    """Static per-frame wire layout: list of (name, shape) in int32 words.
+
+    dec16: per-16-block packed depth(2b) | mvx+2048(12b) | mvy+2048(12b);
+    sao_pp: packed SAO word per (component, CTU) — see _pk_params."""
     h16, w16 = H // 16, W // 16
     nby, nbx = H // ctu, W // ctu
     return [
         ("cnt", (1,)),
-        ("depth16", (h16, w16)),
-        ("mv16", (h16, w16, 2)),
+        ("dec16", (h16, w16)),
         ("sad", (nby, nbx)),
-        ("sao_pp", (3, nby, nbx, 7)),
-        ("merge", (2, nby, nbx)),
+        ("sao_pp", (3, nby, nbx)),
         ("idx", (cap,)),
         ("vals", (cap, 8)),          # (cap, 16) int16 bitcast to (cap, 8)
     ]
 
 
 def unpack_wire(row: np.ndarray, H: int, W: int, ctu: int, cap: int):
-    """Host-side wire row -> dict of numpy arrays (vals back as int16)."""
+    """Host-side wire row -> dict of numpy arrays: depth16, mv16, sad,
+    sao params (+ merge flags), idx, vals (int16), cnt."""
     out = {}
     o = 0
     for name, shape in wire_layout(H, W, ctu, cap):
@@ -84,6 +102,10 @@ def unpack_wire(row: np.ndarray, H: int, W: int, ctu: int, cap: int):
         out[name] = row[o:o + n].reshape(shape)
         o += n
     out["vals"] = np.ascontiguousarray(out["vals"]).view(np.int16)
+    d = out.pop("dec16")
+    out["depth16"] = (d & 3).astype(np.int32)
+    out["mv16"] = np.stack([((d >> 4) & 4095) - 2048,
+                            ((d >> 16) & 4095) - 2048], -1).astype(np.int32)
     return out
 
 
@@ -119,9 +141,9 @@ def _sao_device(cur, rec, ctu: int, qp: int, qp_c: int):
     fy = apply_one(ry, luma, ctu)
     fu = apply_one(ru, cbp, ctu // 2)
     fv = apply_one(rv, crp, ctu // 2)
-    pp = jnp.stack([_pk_params(luma), _pk_params(cbp), _pk_params(crp)])
-    merge = jnp.stack([ml, mu]).astype(I32)
-    return pp, merge, (fy, fu, fv)
+    pp = jnp.stack([_pk_params(luma, merge=(ml, mu)), _pk_params(cbp),
+                    _pk_params(crp)])
+    return pp, (fy, fu, fv)
 
 
 @functools.partial(jax.jit,
@@ -145,9 +167,9 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
     def body(refs, xs):
         ry8, ru8, rv8 = refs
         y, u, v, qp = xs
-        ryp = jnp.pad(ry8.astype(I32), PAD, mode="edge")
-        rup = jnp.pad(ru8.astype(I32), PAD // 2, mode="edge")
-        rvp = jnp.pad(rv8.astype(I32), PAD // 2, mode="edge")
+        ryp = jnp.pad(ry8.astype(jnp.int16), PAD, mode="edge")
+        rup = jnp.pad(ru8.astype(jnp.int16), PAD // 2, mode="edge")
+        rvp = jnp.pad(rv8.astype(jnp.int16), PAD // 2, mode="edge")
         if tree:
             res = p_jax._p_stage_tree(
                 y, u, v, ryp, rup, rvp, ctu=ctu, qp=qp, search=search,
@@ -209,15 +231,14 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
 
         if sao:
             qp_c = tables.chroma_qp_from_luma(qp, xp=jnp)
-            pp, merge, (fy, fu, fv) = _sao_device(
+            pp, (fy, fu, fv) = _sao_device(
                 (y.astype(I32), u.astype(I32), v.astype(I32)),
                 (fy.astype(I32), fu.astype(I32), fv.astype(I32)),
                 ctu, qp, qp_c)
             fy, fu, fv = (fy.astype(jnp.uint8), fu.astype(jnp.uint8),
                           fv.astype(jnp.uint8))
         else:
-            pp = jnp.zeros((3, nby, nbx, 7), I32)
-            merge = jnp.zeros((2, nby, nbx), I32)
+            pp = jnp.zeros((3, nby, nbx), I32)
 
         # ---- compact the level planes: nonzero 4x4 sub-blocks ----
         lv4 = jnp.concatenate([_to4(lev_yp), _to4(lev_up), _to4(lev_vp)])
@@ -229,13 +250,14 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
         vals32 = jax.lax.bitcast_convert_type(
             vals.reshape(cap, 8, 2), I32).reshape(cap, 8)
 
+        dec16 = ((depth_u[::4, ::4] & 3)
+                 | ((mv_u[::4, ::4, 0] + 2048) << 4)
+                 | ((mv_u[::4, ::4, 1] + 2048) << 16))
         wire = jnp.concatenate([
             cnt.reshape(1),
-            depth_u[::4, ::4].reshape(-1),
-            mv_u[::4, ::4].reshape(-1),
+            dec16.reshape(-1),
             sad.reshape(-1),
             pp.reshape(-1),
-            merge.reshape(-1),
             idx.astype(I32),
             vals32.reshape(-1),
         ])

@@ -23,7 +23,7 @@ from ..ops import golden, interp
 from ..ops.inter_golden import (MotionField, derive_block_decisions,
                                 mv_bits_fx)
 
-PAD = 32            # reference padding: search range + 8-tap support
+PAD = 72            # max hierarchical search range (64) + 8-tap support
 
 
 @dataclass
@@ -41,13 +41,76 @@ def lambda_me_fx(qp: int) -> int:
     return int(round(lam ** 0.5 * 256))
 
 
+HIER_THRESHOLD = 24     # keep equal to p_jax.HIER_THRESHOLD
+
+
+def _pool(a: np.ndarray, f: int) -> np.ndarray:
+    h, w = a.shape
+    return (a.astype(np.int64).reshape(h // f, f, w // f, f)
+            .sum(axis=(1, 3)))
+
+
+def _bits(v: int) -> int:
+    return 1 + 2 * abs(int(v)).bit_length()
+
+
+def integer_search_hier(blk: np.ndarray, ref_pad: np.ndarray, x0: int,
+                        y0: int, search: int, lam_fx: int,
+                        ref4: np.ndarray = None, ref2=None):
+    """Golden twin of p_jax._me_hier for one block: L2 coarse sweep over
+    4:1 box-summed planes, then L0 full-res +-3 over a zero anchor + the
+    pyramid pick. First-minimum in (candidate, dy, dx) raster order at
+    every level — bit-identical to the device pipeline. (ref2 kept for
+    call-site compatibility; unused.)"""
+    size = blk.shape[0]
+    R4 = search // 4
+    n4 = 2 * R4 + 1
+    P4 = PAD // 4
+    if ref4 is None:
+        ref4 = _pool(ref_pad, 4)
+    b4 = _pool(blk, 4)
+    s4 = size // 4
+    region4 = ref4[y0 // 4 + P4 - R4:y0 // 4 + P4 + R4 + s4,
+                   x0 // 4 + P4 - R4:x0 // 4 + P4 + R4 + s4]
+    wins = np.lib.stride_tricks.sliding_window_view(region4, (s4, s4))
+    sads = np.abs(wins - b4).sum(axis=(-1, -2))                 # (n4, n4)
+    d4 = np.arange(-R4, R4 + 1)
+    bits = np.array([_bits(16 * int(c)) for c in d4])
+    cost4 = sads + ((lam_fx * (bits[:, None] + bits[None, :])) >> 8)
+    k = int(np.argmin(cost4))               # first min: smallest dy4, dx4
+    cy, cx = 4 * int(d4[k // n4]), 4 * int(d4[k % n4])
+
+    # L0: full-res +-3 over [zero anchor, pyramid pick] in that order
+    best = None
+    for ay, ax in ((0, 0), (cy, cx)):
+        region = ref_pad[y0 + PAD + ay - 3:y0 + PAD + ay + 3 + size,
+                         x0 + PAD + ax - 3:x0 + PAD + ax + 3 + size]
+        wins = np.lib.stride_tricks.sliding_window_view(region, (size, size))
+        sads = np.abs(wins.astype(np.int32) - blk).sum(axis=(-1, -2))
+        dd = np.arange(-3, 4)
+        bity = np.array([_bits(4 * (ay + int(d))) for d in dd])
+        bitx = np.array([_bits(4 * (ax + int(d))) for d in dd])
+        cost = sads + ((lam_fx * (bity[:, None] + bitx[None, :])) >> 8)
+        j = int(np.argmin(cost))
+        cand = (int(cost.reshape(-1)[j]), ax + int(dd[j % 7]),
+                ay + int(dd[j // 7]))
+        if best is None or cand[0] < best[0]:       # strict: zero-anchor ties win
+            best = cand
+    return best[1], best[2], best[0]
+
+
 def integer_search(blk: np.ndarray, ref_pad: np.ndarray, x0: int, y0: int,
-                   search: int, lam_fx: int) -> tuple[int, int]:
+                   search: int, lam_fx: int, ref4: np.ndarray = None,
+                   ref2: np.ndarray = None) -> tuple[int, int]:
     """Full-window integer-pel search, cost = SAD + lam*bits(4*mv).
 
     Window scanned in (dy, dx) raster order from -search; ties keep the
     first minimum — matched exactly by the JAX pipeline's ordered scan.
+    Ranges above HIER_THRESHOLD dispatch to the hierarchical search.
     """
+    if search > HIER_THRESHOLD:
+        return integer_search_hier(blk, ref_pad, x0, y0, search, lam_fx,
+                                   ref4=ref4, ref2=ref2)
     size = blk.shape[0]
     n = 2 * search + 1
     region = ref_pad[y0 + PAD - search:y0 + PAD + search + size,
@@ -108,6 +171,7 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
     ry = interp.pad_plane(ref_planes[0].astype(np.int32), PAD)
     ru = interp.pad_plane(ref_planes[1].astype(np.int32), PAD // 2)
     rv = interp.pad_plane(ref_planes[2].astype(np.int32), PAD // 2)
+    ry4 = _pool(ry, 4) if search > HIER_THRESHOLD else None
 
     # ---- stage A: per-block ME + MC + transform (order-independent) ----
     mvs = np.zeros((nby, nbx, 2), np.int32)
@@ -160,7 +224,8 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
         for c in range(nbx):
             y0, x0 = r * size, c * size
             blk = y[y0:y0 + size, x0:x0 + size].astype(np.int32)
-            ix, iy, cost = integer_search(blk, ry, x0, y0, search, lam_fx)
+            ix, iy, cost = integer_search(blk, ry, x0, y0, search, lam_fx,
+                                          ref4=ry4)
             sad[r, c] = cost
             mvx, mvy = subpel_refine(blk, ry, x0, y0, (ix, iy), lam_fx,
                                      me_precision)

@@ -36,6 +36,12 @@ from .p_golden import PAD, PFramePlan, build_p_plans, lambda_me_fx
 
 I32 = jnp.int32
 
+# Search ranges above this use the hierarchical coarse+refine ME
+# (_me_hier / p_golden.integer_search_hier); at or below it, the dense
+# full-window sweep (whose MC support fits the reference-style padding
+# without a coarse stage) is used. Both are golden-twinned.
+HIER_THRESHOLD = 24
+
 
 def _bits_tab(max_abs: int) -> np.ndarray:
     """bits(c) = 1 + 2*bitlen(|c|) lookup for |c| in 0..max_abs."""
@@ -84,7 +90,15 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
 
     cur = y_pad.astype(I32)
 
-    # ---------------- integer full-window search ----------------
+    # ---------------- integer search ----------------
+    if search > HIER_THRESHOLD:
+        ivy, ivx, best_cost = _me_hier(cur, ry, sizes=(B,), search=search,
+                                       lam=lam)[B]
+        return _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx,
+                             best_cost, B=B, qp=qp, qp_c=qp_c, lam=lam,
+                             search=search, me_precision=me_precision,
+                             sign_hiding=sign_hiding)
+
     n = 2 * search + 1
     bits1 = _bits_tab(4 * search)[np.abs(4 * np.arange(-search, search + 1))]
     bits2 = jnp.asarray(bits1[:, None] + bits1[None, :], I32)
@@ -144,7 +158,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     G = S + 2                                       # qpel grid spatial extent
     log2 = S.bit_length() - 1
 
-    bits_q = jnp.asarray(_bits_tab(4 * search + 8), I32)
+    bits_q = jnp.asarray(_bits_tab(4 * search + 16), I32)
     qp_idx = [(qy, qx) for qy in range(-3, 4) for qx in range(-3, 4)]
     lam_full_t = jnp.asarray(tables.LAMBDA_FX)
 
@@ -157,7 +171,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     # ---- per-block (S+9, S+9) luma support windows -> (S+9, S+9, nb) ----
     win = jax.vmap(
         lambda yy, xx: jax.lax.dynamic_slice(ry, (yy, xx), (S + 9, S + 9)),
-        out_axes=2)(r * S + vy - 4 + PAD, c * S + vx - 4 + PAD)
+        out_axes=2)(r * S + vy - 4 + PAD, c * S + vx - 4 + PAD).astype(I32)
 
     def filt_h(b, taps, w_out):
         acc = taps[0] * b[:, 0:w_out, :]
@@ -242,7 +256,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
         wc = jax.vmap(
             lambda yy, xx: jax.lax.dynamic_slice(refp, (yy, xx),
                                                  (S2 + 3, S2 + 3)),
-            out_axes=2)(base_y, base_x)             # (S2+3, S2+3, nb)
+            out_axes=2)(base_y, base_x).astype(I32)  # (S2+3, S2+3, nb)
         hs = sum(coefx[k][None, None, :] * wc[:, k:k + S2, :]
                  for k in range(4))                 # (S2+3, S2, nb)
         vv = sum(coefy[k][None, None, :] * hs[k:k + S2, :, :]
@@ -382,6 +396,130 @@ def _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost, *,
     )
 
 
+def _me_hier(cur, ry, *, sizes, search, lam):
+    """Hierarchical wide-window integer ME (search > HIER_THRESHOLD).
+
+    TPU-native form of the reference's wide search window
+    (hmr_private.h:76-77, +-128x+-64) without a dense (2R+1)^2 full-res
+    sweep — a 3-level pyramid over box-summed planes (all pooling on the
+    MXU via ops/blocksum):
+
+      L2: dense sweep of +-R/4 offsets on 4:1-pooled planes;
+      L0: full-res +-3 refine over BOTH the pyramid pick (per-block window
+          gather — ONE gather per size; gathers cost per-slice overhead on
+          TPU, so their count is minimised) and a zero-MV anchor whose 49
+          costs come from static shifted-plane grids (no gather, shared
+          across sizes by sum-pooling). 98 ordered candidates, zero-anchor
+          first — the anchor keeps small true motion safe when pooled
+          ranking misleads on high-frequency content.
+
+    Every argmin takes the FIRST minimum in (candidate, dy, dx) raster
+    order — bit-identical to p_golden.integer_search_hier. Returns
+    {S: (ivy, ivx, icost)} with |mv| <= search + 3.
+    """
+    H, W = cur.shape
+    R4 = search // 4
+    n4 = 2 * R4 + 1
+    P4 = PAD // 4
+    H4, W4 = H // 4, W // 4
+
+    # pooled pyramid planes as int16 (max cell sum 16*255 = 4080): the
+    # sweeps below are HBM-bound, so plane width is the cost that matters
+    cur4 = blocksum.block_sum(cur, 4, 4, xp=jnp).astype(jnp.int16)
+    ry4 = blocksum.block_sum(ry, 4, 4, xp=jnp).astype(jnp.int16)
+    cur16 = cur.astype(jnp.int16)
+
+    def step(_, dyi):
+        band = jax.lax.dynamic_slice(ry4, (P4 - R4 + dyi, 0),
+                                     (H4, W4 + 2 * P4))
+
+        def sad_dx(dxi):
+            shifted = jax.lax.dynamic_slice(band, (0, P4 - R4 + dxi),
+                                            (H4, W4))
+            return jnp.abs(cur4 - shifted)            # int16, <= 4080
+
+        diffs = jax.vmap(sad_dx)(jnp.arange(n4, dtype=I32))
+        return None, blocksum.block_sum(diffs, 4, 4, xp=jnp)
+
+    _, g = jax.lax.scan(step, None, jnp.arange(n4, dtype=I32))
+    g16c = g.reshape(n4 * n4, H // 16, W // 16)     # coarse per-16 grids
+
+    # zero-anchor grids: 49 full-res +-3 shifts, per-16-block sums (static
+    # slices fuse into the surrounding jit — no per-block gather)
+    z16 = _sad_grids(cur16, ry, S=16, search=3)     # (49, h16, w16)
+
+    d4 = np.arange(-R4, R4 + 1)
+    bits1 = _bits_tab(16 * R4)[np.abs(16 * d4)]
+    bits2 = jnp.asarray(bits1[:, None] + bits1[None, :], I32)
+    mvcost4 = ((lam * bits2) >> 8).reshape(-1)      # (n4*n4,) dy-major
+
+    bits_f = jnp.asarray(_bits_tab(4 * search + 16), I32)
+
+    def mvbits(vy, vx):
+        return bits_f[jnp.abs(vy)] + bits_f[jnp.abs(vx)]
+
+    zbits = jnp.asarray(
+        [_bits_tab(28)[abs(4 * dy)] + _bits_tab(28)[abs(4 * dx)]
+         for dy in range(-3, 4) for dx in range(-3, 4)], I32)
+    zcost_off = ((lam * zbits) >> 8)                # (49,)
+
+    out = {}
+    gS, zS = g16c, z16
+    S = 16
+    for size in sorted(sizes):
+        while S < size:                             # pool coarse to size
+            nn, py, px = gS.shape
+            gS = gS.reshape(nn, py // 2, 2, px // 2, 2).sum(axis=(2, 4))
+            zS = zS.reshape(49, py // 2, 2, px // 2, 2).sum(axis=(2, 4))
+            S *= 2
+        k = jnp.argmin(gS + mvcost4[:, None, None], axis=0).astype(I32)
+        cy = 4 * (k // n4 - R4)                     # (nby, nbx) full-pel
+        cx = 4 * (k % n4 - R4)
+        nby, nbx = cy.shape
+        nb = nby * nbx
+        bi = jnp.arange(nb, dtype=I32)
+        r = bi // nbx
+        c = bi % nbx
+        vy = cy.reshape(-1)
+        vx = cx.reshape(-1)
+
+        # zero-anchor candidate costs from the shared static grids
+        zc = zS.reshape(49, nb) + zcost_off[:, None]
+
+        # pyramid-pick refine: ONE per-block window gather for this size
+        blk = (cur16.reshape(nby, size, nbx, size).transpose(1, 3, 0, 2)
+               .reshape(size, size, nb))
+        win = jax.vmap(
+            lambda yy, xx: jax.lax.dynamic_slice(
+                ry, (yy, xx), (size + 6, size + 6)),
+            out_axes=2)(r * size + vy - 3 + PAD, c * size + vx - 3 + PAD)
+        cost_l, ay_l, ax_l = [], [], []
+        di = 0
+        for dy in range(-3, 4):
+            for dx in range(-3, 4):
+                cost_l.append(zc[di])
+                ay_l.append(jnp.full((nb,), dy, I32))
+                ax_l.append(jnp.full((nb,), dx, I32))
+                di += 1
+        for dy in range(-3, 4):
+            for dx in range(-3, 4):
+                pred = win[dy + 3:dy + 3 + size, dx + 3:dx + 3 + size, :]
+                sad = jnp.abs(blk - pred).astype(I32).sum(axis=(0, 1))
+                bb = mvbits(4 * (vy + dy), 4 * (vx + dx))
+                cost_l.append(sad + ((lam * bb) >> 8))
+                ay_l.append(vy + dy)
+                ax_l.append(vx + dx)
+        cost98 = jnp.stack(cost_l)                  # (98, nb), zero first
+        ays = jnp.stack(ay_l)
+        axs = jnp.stack(ax_l)
+        j = jnp.argmin(cost98, axis=0).astype(I32)
+        icost = jnp.take_along_axis(cost98, j[None], axis=0)[0]
+        ivy = jnp.take_along_axis(ays, j[None], axis=0)[0].reshape(nby, nbx)
+        ivx = jnp.take_along_axis(axs, j[None], axis=0)[0].reshape(nby, nbx)
+        out[size] = (ivy, ivx, icost.reshape(nby, nbx))
+    return out
+
+
 def _sad_grids(cur16, ry, *, S, search):
     """Full SAD grid per S-block: (n*n, H//S, W//S), dy-major offset order
     (identical raster semantics to the fixed-grid search)."""
@@ -421,26 +559,37 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
     lam = jnp.asarray(tables.LAMBDA_ME_FX)[qp]
     lamf = jnp.asarray(tables.LAMBDA_FX)[qp]
     cur = y_pad.astype(I32)
-    n = 2 * search + 1
-    bits1 = _bits_tab(4 * search)[np.abs(4 * np.arange(-search, search + 1))]
-    bits2 = jnp.asarray(bits1[:, None] + bits1[None, :], I32)
-    mvcost = ((lam * bits2) >> 8).reshape(-1)       # (n*n,) dy-major
+    sizes = [16, 32] + ([64] if ctu == 64 else [])
 
-    grids = {16: _sad_grids(cur.astype(jnp.int16), ry, S=16, search=search)}
-    S = 32
-    while S <= ctu:
-        prev = grids[S // 2]
-        nn, py, px = prev.shape
-        grids[S] = prev.reshape(nn, py // 2, 2, px // 2, 2).sum(axis=(2, 4))
-        S *= 2
+    if search > HIER_THRESHOLD:
+        me = _me_hier(cur, ry, sizes=sizes, search=search, lam=lam)
+        ints = {S: me[S] for S in sizes}
+    else:
+        n = 2 * search + 1
+        bits1 = _bits_tab(4 * search)[
+            np.abs(4 * np.arange(-search, search + 1))]
+        bits2 = jnp.asarray(bits1[:, None] + bits1[None, :], I32)
+        mvcost = ((lam * bits2) >> 8).reshape(-1)   # (n*n,) dy-major
+
+        grids = {16: _sad_grids(cur.astype(jnp.int16), ry, S=16,
+                                search=search)}
+        S = 32
+        while S <= ctu:
+            prev = grids[S // 2]
+            nn, py, px = prev.shape
+            grids[S] = prev.reshape(nn, py // 2, 2, px // 2,
+                                    2).sum(axis=(2, 4))
+            S *= 2
+        ints = {}
+        for S in grids:
+            cost = grids[S] + mvcost[:, None, None]
+            k = jnp.argmin(cost, axis=0).astype(I32)  # first min, dy-major
+            icost = jnp.take_along_axis(cost, k[None], axis=0)[0]
+            ints[S] = (k // n - search, k % n - search, icost)
 
     enc = {}
-    for S in grids:
-        cost = grids[S] + mvcost[:, None, None]
-        k = jnp.argmin(cost, axis=0).astype(I32)    # first min, dy-major
-        icost = jnp.take_along_axis(cost, k[None], axis=0)[0]
-        ivy = k // n - search
-        ivx = k % n - search
+    for S in sizes:
+        ivy, ivx, icost = ints[S]
         enc[S] = _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx,
                                S=S, qp=qp, qp_c=qp_c, lam=lam, search=search,
                                me_precision=me_precision,
@@ -552,9 +701,9 @@ def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
     """Quadtree P frame, all device: hierarchical ME + per-level coding +
     split select (+ on-device deblock of the selected reconstruction)."""
     H, W = y_pad.shape
-    ry = jnp.pad(ref_y.astype(I32), PAD, mode="edge")
-    ru = jnp.pad(ref_u.astype(I32), PAD // 2, mode="edge")
-    rv = jnp.pad(ref_v.astype(I32), PAD // 2, mode="edge")
+    ry = jnp.pad(ref_y.astype(jnp.int16), PAD, mode="edge")
+    ru = jnp.pad(ref_u.astype(jnp.int16), PAD // 2, mode="edge")
+    rv = jnp.pad(ref_v.astype(jnp.int16), PAD // 2, mode="edge")
     result = _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, ctu=ctu, qp=qp,
                            search=search, me_precision=me_precision,
                            sign_hiding=sign_hiding)
@@ -582,9 +731,9 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
                    qp, search: int, me_precision: int,
                    deblock: bool = False, sign_hiding: bool = False):
     H, W = y_pad.shape
-    ry = jnp.pad(ref_y.astype(I32), PAD, mode="edge")
-    ru = jnp.pad(ref_u.astype(I32), PAD // 2, mode="edge")
-    rv = jnp.pad(ref_v.astype(I32), PAD // 2, mode="edge")
+    ry = jnp.pad(ref_y.astype(jnp.int16), PAD, mode="edge")
+    ru = jnp.pad(ref_u.astype(jnp.int16), PAD // 2, mode="edge")
+    rv = jnp.pad(ref_v.astype(jnp.int16), PAD // 2, mode="edge")
     result = _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, B=B, qp=qp,
                       search=search, me_precision=me_precision,
                       sign_hiding=sign_hiding)

@@ -13,7 +13,7 @@ frames = list(synth_clip(W, H, 1 + CHUNK + N, seed=0))
 cfg = EncoderConfig(width=W, height=H, qp=QP, cu_size=32,
                     intra_period=100, sign_hiding=True,
                     sample_adaptive_offset=True, deblocking=True,
-                    me_search_range=16,
+                    me_search_range=64,
                     performance_mode=PerformanceMode.FAST_COMPUTATION)
 prof = Profiler()
 enc = HomerEncoder(cfg, backend="jax", fetch_recon=False, profiler=prof)
