@@ -179,3 +179,68 @@ def predict_all_modes(top, left, corner, ftop, fleft, fcorner, *,
         dcb = dcb.at[0, 0].set((left[0] + 2 * dc + top[0] + 2) >> 2)
     pred = pred.at[1].set(dcb)
     return pred
+
+
+def predict_one_mode(top, left, corner, ftop, fleft, fcorner, m, *,
+                     size: int, c_idx: int, bit_depth: int = 8) -> jax.Array:
+    """(N, N) int32 prediction for ONE traced mode m — the apply-pass twin
+    of predict_all_modes (identical arithmetic, tables indexed by m instead
+    of materialising 35 planes). Used by the two-pass intra pipeline where
+    the mode is already decided."""
+    n = size
+    log2 = n.bit_length() - 1
+    angle_t, inv_t, is_vert_t, ff_t, _, _ = _mode_tables(n)
+    i32 = jnp.int32
+    m = jnp.asarray(m, i32)
+    angle = jnp.asarray(angle_t)[m]
+    inv_angle = jnp.asarray(inv_t)[m]
+    is_vert = jnp.asarray(is_vert_t)[m]
+    ff = jnp.asarray(ff_t)[m] if c_idx == 0 else jnp.asarray(False)
+
+    top, left = top.astype(i32), left.astype(i32)
+    ftop, fleft = ftop.astype(i32), fleft.astype(i32)
+    top_m = jnp.where(ff, ftop, top)
+    left_m = jnp.where(ff, fleft, left)
+    corner_m = jnp.where(ff, fcorner, corner).astype(i32)
+
+    main = jnp.where(is_vert, top_m, left_m)
+    side = jnp.where(is_vert, left_m, top_m)
+
+    npos = 3 * n + 2
+    ref = jnp.zeros((npos,), i32)
+    ref = ref.at[n].set(corner_m)
+    ref = ref.at[n + 1:3 * n + 1].set(main)
+    i_neg = jnp.arange(-n, 0)
+    j = ((i_neg * inv_angle + 128) >> 8) - 1
+    side_ext = jnp.concatenate([corner_m[None], side])
+    neg_vals = side_ext[jnp.clip(j + 1, 0, 2 * n)]
+    ref = ref.at[0:n].set(jnp.where(angle < 0, neg_vals, ref[0:n]))
+
+    x = jnp.arange(n)
+    pos = (x + 1) * angle                            # (n,) per-row offsets
+    idx = pos >> 5
+    fact = pos & 31
+    g = jnp.clip(n + 1 + x[None, :] + idx[:, None], 0, npos - 1)
+    p0 = ref[g]
+    p1 = ref[jnp.clip(g + 1, 0, npos - 1)]
+    f = fact[:, None]
+    pred = ((32 - f) * p0 + f * p1 + 16) >> 5
+
+    if c_idx == 0 and n < 32:
+        maxv = (1 << bit_depth) - 1
+        col = jnp.clip(main[0] + ((side[:n] - corner_m) >> 1), 0, maxv)
+        pred = pred.at[:, 0].set(jnp.where(angle == 0, col, pred[:, 0]))
+
+    pred = jnp.where(is_vert, pred, pred.T)
+
+    t0, l0 = top_m, left_m
+    xx, yy = jnp.meshgrid(x, x)
+    planar = ((n - 1 - xx) * l0[yy] + (xx + 1) * t0[n]
+              + (n - 1 - yy) * t0[xx] + (yy + 1) * l0[n] + n) >> (log2 + 1)
+    dc = (jnp.sum(top[:n]) + jnp.sum(left[:n]) + n) >> (log2 + 1)
+    dcb = jnp.full((n, n), dc, i32)
+    if c_idx == 0 and n < 32:
+        dcb = dcb.at[0, :].set((top[:n] + 3 * dc + 2) >> 2)
+        dcb = dcb.at[:, 0].set((left[:n] + 3 * dc + 2) >> 2)
+        dcb = dcb.at[0, 0].set((left[0] + 2 * dc + top[0] + 2) >> 2)
+    return jnp.where(m == 0, planar, jnp.where(m == 1, dcb, pred))

@@ -184,18 +184,59 @@ def _search_unit(o, refs, aux, *, size, min_size, c_idx, qp, lam_fx,
             jnp.where(split, total, cost_w))
 
 
+def _encode_block_one_mode(orig, top, left, corner, has_left, has_top, m, *,
+                           size, c_idx, qp, lam_fx, strong_smoothing,
+                           sign_hiding):
+    """Closed-loop encode of one block with a DECIDED (traced) mode m.
+
+    The apply pass of the two-pass intra design: prediction still builds
+    all 35 mode planes (cheap gathers) and picks m, but the transform /
+    quant / SBH battery runs ONCE — 35x less work and HLO than the search
+    battery, which lives in the batched open-loop pass (_open_loop_maps).
+    Returns (levels (N,N), recon (N,N))."""
+    log2 = size.bit_length() - 1
+    refs = intra_ops.prepare_refs(top, left, corner, has_left, has_top,
+                                  size=size, c_idx=c_idx,
+                                  strong_smoothing=strong_smoothing)
+    pred = intra_ops.predict_one_mode(*refs, m, size=size, c_idx=c_idx)
+    resid = (orig.astype(I32) - pred)[None]
+    is_dst = (c_idx == 0 and size == 4)
+    coeff = tx_ops.forward_transform(resid, is_dst=is_dst)
+    levels = quant_ops.quantize(coeff, qp, log2, is_intra=True)
+    if sign_hiding:
+        if log2 == 2 or (log2 == 3 and c_idx == 0):
+            lv_d = quant_ops.sign_bit_hiding(levels, coeff, qp, log2,
+                                             scan_idx=0)
+            lv_h = quant_ops.sign_bit_hiding(levels, coeff, qp, log2,
+                                             scan_idx=1)
+            lv_v = quant_ops.sign_bit_hiding(levels, coeff, qp, log2,
+                                             scan_idx=2)
+            ver = (m >= 6) & (m <= 14)
+            hor = (m >= 22) & (m <= 30)
+            levels = jnp.where(ver, lv_v, jnp.where(hor, lv_h, lv_d))
+        else:
+            levels = quant_ops.sign_bit_hiding(levels, coeff, qp, log2)
+    deq = quant_ops.dequantize(levels, qp, log2)
+    r = tx_ops.inverse_transform(deq, is_dst=is_dst)
+    any_nz = jnp.any(levels != 0, axis=(-1, -2))
+    r = jnp.where(any_nz[:, None, None], r, 0)
+    recon = jnp.clip(pred[None] + r, 0, 255)
+    return levels[0], recon[0].astype(I32)
+
+
 def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
-                 c_idx, qp, lam_fx, sign_hiding):
-    """Chroma CU following the luma quadtree: split iff the co-located luma
-    depth exceeds `depth`; mode = derived (DM) from the co-located luma.
-    f_mode/f_depth are chroma-unit-granular (luma maps subsampled 2x)."""
+                 c_idx, qp, lam_fx, sign_hiding, strong_smoothing=False):
+    """CU following a DECIDED quadtree: split iff the co-located map depth
+    exceeds `depth`; mode from the co-located map. Used for chroma (DM from
+    luma) and, in the two-pass design, for luma applying the open-loop
+    maps. f_mode/f_depth are unit-granular for this component."""
     top, left, corner, hl, ht = refs
     trow_vec, lcol_vec, x0, top_limit, W = aux
     m = f_mode[0, 0]
-    lv35, rc35, _ = _encode_block_all_modes(
-        o, top, left, corner, hl, ht, size=size, c_idx=c_idx, qp=qp,
-        lam_fx=lam_fx, strong_smoothing=False, sign_hiding=sign_hiding)
-    lev, rec = lv35[m], rc35[m]
+    lev, rec = _encode_block_one_mode(
+        o, top, left, corner, hl, ht, m, size=size, c_idx=c_idx, qp=qp,
+        lam_fx=lam_fx, strong_smoothing=strong_smoothing and size == 32,
+        sign_hiding=sign_hiding)
     if size <= min_size:
         return lev, rec
 
@@ -215,18 +256,97 @@ def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
         lv_c, rc_c = _follow_unit(
             oc, refs_c, aux_c + (W,), fm_c, fd_c, size=h, depth=depth + 1,
             min_size=min_size, c_idx=c_idx, qp=qp, lam_fx=lam_fx,
-            sign_hiding=sign_hiding)
+            sign_hiding=sign_hiding, strong_smoothing=strong_smoothing)
         lev_s = jax.lax.dynamic_update_slice(lev_s, lv_c, (cy, cx))
         rec_s = jax.lax.dynamic_update_slice(rec_s, rc_c, (cy, cx))
     split = f_depth[0, 0] > depth
     return jnp.where(split, lev_s, lev), jnp.where(split, rec_s, rec)
 
 
+def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing):
+    """Pass A of the two-pass intra quadtree: batched OPEN-LOOP 35-mode
+    search + split decision over the whole frame, one dense pass per depth.
+
+    References come from the ORIGINAL plane (HM-style rough mode decision),
+    so every block of a depth is independent and the whole depth runs as
+    one batched tensor op — no wavefront, no per-node recursion, and the
+    compile cost is 3 batteries instead of 21 per lane (the round-1
+    recursive unroll took tens of minutes of XLA time; this compiles in
+    seconds). Pass B (_follow_unit over the wavefront) then applies the
+    decided modes closed-loop, so the coded stream remains decoder-exact.
+    Returns (mode_u, depth_u) unit maps (uh, uw), depth 0 == B."""
+    H, W = y_pad.shape
+    orig = y_pad.astype(I32)
+    sizes = [s for s in (8, 16, 32) if s <= B]
+    ov = ((lam_fx >> 4) * 14) >> 4
+    best = {}
+    for S in sizes:
+        nby, nbx = H // S, W // S
+        ar = jnp.arange(2 * S)
+        rr = jnp.arange(nby, dtype=I32)
+        cc = jnp.arange(nbx, dtype=I32)
+        blocks = (orig.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3))
+        top = orig[jnp.maximum(rr * S - 1, 0)[:, None, None],
+                   jnp.clip(cc[None, :, None] * S + ar[None, None], 0, W - 1)]
+        left = orig[jnp.clip(rr[:, None, None] * S + ar[None, None], 0,
+                             H - 1),
+                    jnp.maximum(cc[None, :, None] * S - 1, 0)]
+        corner = orig[jnp.maximum(rr * S - 1, 0)[:, None],
+                      jnp.maximum(cc[None] * S - 1, 0)]
+        hl = jnp.broadcast_to(cc[None] > 0, (nby, nbx))
+        ht = jnp.broadcast_to(rr[:, None] > 0, (nby, nbx))
+
+        def one(o, t, l, co, h_l, h_t, S=S):
+            _, _, cost = _encode_block_all_modes(
+                o, t, l, co, h_l, h_t, size=S, c_idx=0, qp=qp,
+                lam_fx=lam_fx,
+                strong_smoothing=strong_smoothing and S == 32,
+                sign_hiding=False)
+            m = jnp.argmin(cost).astype(I32)
+            return m, cost[m].astype(I32)
+
+        # one block row per map step bounds the 35-mode battery's live set
+        modes, cost = jax.lax.map(
+            lambda args: jax.vmap(one)(*args),
+            (blocks, top, left, corner, hl, ht))
+        best[S] = (modes, cost)                     # (nby, nbx)
+
+    def sum4(a):
+        py, px = a.shape
+        return a.reshape(py // 2, 2, px // 2, 2).sum(axis=(1, 3))
+
+    def upu(a, S):
+        k = S // 4
+        return jnp.repeat(jnp.repeat(a, k, 0), k, 1)
+
+    m8, c8 = best[8]
+    m16, c16 = best[16]
+    c8s = sum4(c8) + ov
+    split16 = c8s < c16
+    c16e = jnp.where(split16, c8s, c16)
+    if 32 in best:
+        m32, c32 = best[32]
+        c16s = sum4(c16e) + ov
+        split32 = c16s < c32
+        mm32, mm16 = upu(split32, 32), upu(split16, 16)
+        depth_u = jnp.where(~mm32, 0, jnp.where(~mm16, 1, 2))
+        mode_u = jnp.where(~mm32, upu(m32, 32),
+                           jnp.where(~mm16, upu(m16, 16), upu(m8, 8)))
+    else:
+        mm16 = upu(split16, 16)
+        depth_u = jnp.where(mm16, 1, 0).astype(I32)
+        mode_u = jnp.where(mm16, upu(m8, 8), upu(m16, 16))
+    return mode_u.astype(I32), depth_u.astype(I32)
+
+
 def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
              strong_smoothing, sign_hiding=False, split_rdo=False,
-             ctu64=False):
+             ctu64=False, maps=None):
     """Process block (r, c=d-2r) of the diagonal (one vmap lane): one
-    B-sized container searched as a CU quadtree down to 8 (split_rdo)."""
+    B-sized container. With split_rdo, `maps` carries the open-loop
+    (mode_u, depth_u) frame maps and the lane APPLIES them closed-loop
+    (_follow_unit); without, the closed-loop 35-mode search runs at CU=B
+    (golden-twinned)."""
     y_pad, u_pad, v_pad = planes
     bot_y, right_y, bot_u, right_u, bot_v, right_v = state
     B2 = B // 2
@@ -262,12 +382,21 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
     orig = jax.lax.dynamic_slice(y_pad, (r * B, x0), (B, B))
     top, left, corner, trow_y, lcol_y, lim_y = refs_for(bot_y, right_y, x0,
                                                         B, W)
-    min_luma = 8 if split_rdo else B
-    lev_y, rec_y, mode_u, depth_u, _ = _search_unit(
-        orig.astype(I32), (top, left, corner, has_left, has_top),
-        (trow_y, lcol_y, x0, lim_y, W), size=B, min_size=min_luma,
-        c_idx=0, qp=qp, lam_fx=lam, strong_smoothing=strong_smoothing,
-        sign_hiding=sign_hiding)
+    if split_rdo:
+        Bu = B // 4
+        mode_u = jax.lax.dynamic_slice(maps[0], (r * Bu, cc * Bu), (Bu, Bu))
+        depth_u = jax.lax.dynamic_slice(maps[1], (r * Bu, cc * Bu), (Bu, Bu))
+        lev_y, rec_y = _follow_unit(
+            orig.astype(I32), (top, left, corner, has_left, has_top),
+            (trow_y, lcol_y, x0, lim_y, W), mode_u, depth_u, size=B,
+            depth=0, min_size=8, c_idx=0, qp=qp, lam_fx=lam,
+            sign_hiding=sign_hiding, strong_smoothing=strong_smoothing)
+    else:
+        lev_y, rec_y, mode_u, depth_u, _ = _search_unit(
+            orig.astype(I32), (top, left, corner, has_left, has_top),
+            (trow_y, lcol_y, x0, lim_y, W), size=B, min_size=B,
+            c_idx=0, qp=qp, lam_fx=lam, strong_smoothing=strong_smoothing,
+            sign_hiding=sign_hiding)
 
     # ---- chroma: follows the luma quadtree with derived modes ----
     cx0 = cc * B2
@@ -293,7 +422,8 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
 
 
 def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
-               strong_smoothing, sign_hiding=False, split_rdo=False):
+               strong_smoothing, sign_hiding=False, split_rdo=False,
+               maps=None):
     """CTU-64 lane: one 64-CTU per step; its four 32-blocks run z-order
     sequentially (exact decoder availability, including the left CTU's BR
     samples feeding the TL block's below-left references). Each 32-block is
@@ -320,17 +450,26 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
     lev = jnp.zeros((B, B), I32)
     mode_u = jnp.zeros((16, 16), I32)
     depth_u = jnp.zeros((16, 16), I32)
-    min_luma = 8 if split_rdo else 32
     for (hx, hy) in _Z_CHILDREN:
         cx, cy = hx * 32, hy * 32
         refs_c = _child_refs(trow, lcol, corner64, rec, cx, cy, 32,
                              has_left, has_top, x064, W)
         aux_c = _child_aux(trow, lcol, rec, cx, cy, 32, x064, None, B)
         oc = jax.lax.dynamic_slice(orig, (cy, cx), (32, 32))
-        lv, rc, mu, du, _ = _search_unit(
-            oc, refs_c, aux_c + (W,), size=32, min_size=min_luma, c_idx=0,
-            qp=qp, lam_fx=lam, strong_smoothing=strong_smoothing,
-            sign_hiding=sign_hiding)
+        if split_rdo:
+            mu = jax.lax.dynamic_slice(maps[0], (r * 16 + cy // 4,
+                                                 cc * 16 + cx // 4), (8, 8))
+            du = jax.lax.dynamic_slice(maps[1], (r * 16 + cy // 4,
+                                                 cc * 16 + cx // 4), (8, 8))
+            lv, rc = _follow_unit(
+                oc, refs_c, aux_c + (W,), mu, du, size=32, depth=0,
+                min_size=8, c_idx=0, qp=qp, lam_fx=lam,
+                sign_hiding=sign_hiding, strong_smoothing=strong_smoothing)
+        else:
+            lv, rc, mu, du, _ = _search_unit(
+                oc, refs_c, aux_c + (W,), size=32, min_size=32, c_idx=0,
+                qp=qp, lam_fx=lam, strong_smoothing=strong_smoothing,
+                sign_hiding=sign_hiding)
         lev = jax.lax.dynamic_update_slice(lev, lv, (cy, cx))
         rec = jax.lax.dynamic_update_slice(rec, rc, (cy, cx))
         mode_u = jax.lax.dynamic_update_slice(mode_u, mu, (cy // 4, cx // 4))
@@ -418,10 +557,13 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         rec_v=jnp.zeros((nby, nbx, B2, B2), I32),
     )
 
+    maps = (_open_loop_maps(y_pad, B=B, qp=qp, lam_fx=lam,
+                            strong_smoothing=strong_smoothing)
+            if split_rdo else None)
     lane = functools.partial(
         _lane_fn, B=B, nbx=nbx, W=W, qp=qp, qp_c=qp_c, lam=lam, lam_c=lam_c,
         strong_smoothing=strong_smoothing, sign_hiding=sign_hiding,
-        split_rdo=split_rdo, ctu64=ctu64)
+        split_rdo=split_rdo, ctu64=ctu64, maps=maps)
     rs = jnp.arange(nby)
 
     def body(d, st):
@@ -506,10 +648,13 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
         rec_u=jnp.zeros((nby, nbx, B2, B2), I32),
         rec_v=jnp.zeros((nby, nbx, B2, B2), I32),
     )
+    maps = (_open_loop_maps(y_pad, B=32, qp=qp, lam_fx=lam,
+                            strong_smoothing=strong_smoothing)
+            if split_rdo else None)
     lane = functools.partial(
         _lane_fn64, nbx=nbx, W=W, qp=qp, qp_c=qp_c, lam=lam, lam_c=lam_c,
         strong_smoothing=strong_smoothing, sign_hiding=sign_hiding,
-        split_rdo=split_rdo)
+        split_rdo=split_rdo, maps=maps)
     rs = jnp.arange(nby)
 
     def body(d, st):
