@@ -50,7 +50,7 @@ class HomerEncoder:
     """Streaming HEVC encoder session (IDR + P low-delay structure)."""
 
     def __init__(self, cfg: EncoderConfig, *, backend: str = "jax",
-                 profiler=None, fetch_recon: bool = True):
+                 profiler=None, fetch_recon: bool = True, mesh=None):
         if backend not in ("golden", "jax"):
             raise ValueError(f"unknown backend {backend!r}")
         from .utils.profiler import NULL
@@ -59,6 +59,30 @@ class HomerEncoder:
         self.cfg = cfg.validate()
         self.backend = backend
         c = self.cfg
+        # Multi-chip: a jax Mesh with a 'band' axis row-shards every frame
+        # plane (jax.sharding.NamedSharding); the SAME pipeline jits then
+        # compile as SPMD partitioned programs (XLA inserts the ME-halo /
+        # deblock / SAO collectives automatically), so the stream is
+        # byte-identical to the single-device encoder by construction.
+        # cfg.wpp_shards > 1 builds a default mesh over the visible devices.
+        self._mesh = mesh
+        if mesh is None and c.wpp_shards > 1 and backend == "jax":
+            import jax
+            from jax.sharding import Mesh
+            devs = jax.devices()[:c.wpp_shards]
+            if len(devs) == c.wpp_shards:
+                self._mesh = Mesh(np.array(devs), ("band",))
+        self._shard = None
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            def _put(a):
+                import jax
+                return jax.device_put(
+                    a, NamedSharding(self._mesh, P("band")))
+
+            self._shard = _put
         self.ctu_log2 = c.ctu_size.bit_length() - 1
         # intra always codes at 32 max (HEVC intra prediction cap); a 64 CTU
         # holds a forced quadtree level (decoder z-order handled on device).
@@ -152,8 +176,12 @@ class HomerEncoder:
         size = 1 << self.ctu_log2
         deblk = c.deblocking
         with self.prof.probe("upload"):
-            ydev, udev, vdev = (jnp.asarray(yp), jnp.asarray(up),
-                                jnp.asarray(vp))
+            if self._shard is not None:
+                ydev, udev, vdev = (self._shard(yp), self._shard(up),
+                                    self._shard(vp))
+            else:
+                ydev, udev, vdev = (jnp.asarray(yp), jnp.asarray(up),
+                                    jnp.asarray(vp))
         self._cur_dev = (ydev, udev, vdev)
         if is_idr:
             ib = self.intra_b
@@ -318,9 +346,18 @@ class HomerEncoder:
         vs = np.stack([_pad_to(np.asarray(f[2], np.uint8), self.ph // 2,
                                self.pw // 2) for f in fr])
         with self.prof.probe("chunk.upload"):
-            ysd = jnp.asarray(ys)
-            usd = jnp.asarray(us)
-            vsd = jnp.asarray(vs)
+            if self._mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                sh = NamedSharding(self._mesh, P(None, "band"))
+                ysd = jax.device_put(ys, sh)
+                usd = jax.device_put(us, sh)
+                vsd = jax.device_put(vs, sh)
+            else:
+                ysd = jnp.asarray(ys)
+                usd = jnp.asarray(us)
+                vsd = jnp.asarray(vs)
         ctu = 1 << self.ctu_log2
         with self.prof.probe("chunk.dispatch"):
             wires, denses, fy, fu, fv = p_chunk.p_chunk_device(

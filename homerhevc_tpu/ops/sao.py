@@ -157,6 +157,60 @@ def _pack(typ, cls, band_pos, bo_off, eo_offs, xp=np):
                 offsets=offsets.transpose(1, 2, 0).astype(dt))
 
 
+
+
+def _shift_params(par, direction, xp):
+    """Neighbor's params aligned to each CTU (edge values are junk — the
+    candidate masks exclude the first row/column)."""
+    ax = 1 if direction == "left" else 0
+    return {k: xp.roll(v, 1, axis=ax) for k, v in par.items()}
+
+
+def _shift_bool(m, direction, xp):
+    if direction == "left":
+        return xp.pad(m[:, :-1], ((0, 0), (1, 0)), mode="constant",
+                      constant_values=False)
+    return xp.pad(m[:-1, :], ((1, 0), (0, 0)), mode="constant",
+                  constant_values=False)
+
+
+def _cummax(a, xp):
+    if xp is np:
+        return np.maximum.accumulate(a, axis=1)
+    import jax
+    return jax.lax.cummax(a, axis=1)
+
+
+def _eval_params_cost(stats, par, xp):
+    """Closed-form SAO distortion delta of applying `par` to a CTU's stat
+    moments: sum over active offsets of k*h^2 - 2*h*s (negative = better
+    than no SAO). Off CTUs cost 0."""
+    ke, se, kb, sb = stats
+    acc = np.int64 if xp is np else xp.int32
+    ke = xp.asarray(ke).astype(acc)
+    se = xp.asarray(se).astype(acc)
+    kb = xp.asarray(kb).astype(acc)
+    sb = xp.asarray(sb).astype(acc)
+    typ = par["type"].astype(xp.int32)
+    cls = par["eo_class"].astype(xp.int32)
+    bp = par["band_pos"].astype(xp.int32)
+    off = par["offsets"].astype(acc)                # (nby, nbx, 4)
+    ke_g = xp.take_along_axis(ke, cls[None, None], axis=0)[0]   # (4cat, ..)
+    se_g = xp.take_along_axis(se, cls[None, None], axis=0)[0]
+    d_eo = xp.zeros_like(typ).astype(acc)
+    for cat in range(4):
+        h = off[..., cat]
+        d_eo = d_eo + ke_g[cat] * h * h - 2 * h * se_g[cat]
+    d_bo = xp.zeros_like(typ).astype(acc)
+    for i in range(4):
+        idx = xp.clip(bp + i, 0, 31)
+        kb_g = xp.take_along_axis(kb, idx[None], axis=0)[0]
+        sb_g = xp.take_along_axis(sb, idx[None], axis=0)[0]
+        h = off[..., i]
+        d_bo = d_bo + kb_g * h * h - 2 * h * sb_g
+    return xp.where(typ == 2, d_eo, xp.where(typ == 1, d_bo, 0))
+
+
 def derive_all_from_stats(st_y, st_cb, st_cr, qp: int, qp_c: int, xp=np):
     """Full SAO parameter derivation from per-CTU stat tensors for all three
     components (luma independent; chroma type/EO-class shared, spec 7.3.8.3)
@@ -194,8 +248,61 @@ def derive_all_from_stats(st_y, st_cb, st_cr, qp: int, qp_c: int, xp=np):
                 xp=xp)
     crp = _pack(typ_c, cls_c, ccr["band_pos"], ccr["bo_off"], ccr["eo_offs"],
                 xp=xp)
-    ml, mu = derive_merge_flags(luma, cbp, crp, xp=xp)
-    return luma, cbp, crp, ml, mu
+
+    # ---- merge-left/up RDO (role of hmr_sao.c:663/:854/:1295) ----
+    # cost of coding NEW params for this CTU (all components, lambda-R in)
+    new_cost = (xp.minimum(xp.minimum(off_cost, bo_cost), eo_cost)
+                + xp.minimum(xp.minimum(off_cost_c, bo_cost_c), eo_cost_c))
+
+    def merged_cost(shift):
+        """Cost of copying the neighbor's (pre-merge) params: closed-form
+        distortion of applying them to THIS CTU's stats + 1-2 flag bits."""
+        d = (_eval_params_cost(st_y, _shift_params(luma, shift, xp), xp)
+             + _eval_params_cost(st_cb, _shift_params(cbp, shift, xp), xp)
+             + _eval_params_cost(st_cr, _shift_params(crp, shift, xp), xp))
+        bits = 2 if shift == "left" else 3
+        return d + ((lam_y * bits) >> 8)
+
+    nby, nbx = new_cost.shape
+    idx_x = xp.arange(nbx)[None, :]
+    idx_y = xp.arange(nby)[:, None]
+    costL = merged_cost("left")
+    costU = merged_cost("up")
+    candL = (costL < new_cost) & (idx_x > 0)
+    candU = (costU < new_cost) & (idx_y > 0)
+    # length-1 chains only: a merge SOURCE must keep its new params, so the
+    # decoder's copied params equal the ones this RDO evaluated. Left runs
+    # alternate (accept even positions within each candidate run); up
+    # accepts only from neighbors that are no candidates at all.
+    # acceptance must guarantee every merge SOURCE kept its NEW params
+    # (length-1 chains), or the decoder's copy would diverge from the
+    # params this RDO evaluated/applied. Up-merges are decided first
+    # (acyclic: only non-left-candidates, from a source that is no
+    # candidate at all — accU positions are never candL). Left candidate
+    # runs then alternate from each run start; a run whose start sits
+    # right of an up-merged CTU starts one position later (that source's
+    # final params are not its new ones).
+    src_pure = ~(candL | candU)
+    accU = candU & ~candL & _shift_bool(src_pure, "up", xp)
+    runs = candL & ~_shift_bool(candL, "left", xp)
+    blocked = _shift_bool(accU, "left", xp)
+    pos = xp.broadcast_to(idx_x, candL.shape).astype(xp.int32)
+    seed = xp.where(runs, pos + blocked.astype(xp.int32), -1)
+    anchor = _cummax(seed, xp)
+    accL = candL & (((pos - anchor) % 2) == 0)
+
+    def apply_merge(par):
+        out = {}
+        pl = _shift_params(par, "left", xp)
+        pu = _shift_params(par, "up", xp)
+        for k in par:
+            sel = accL if par[k].ndim == 2 else accL[..., None]
+            selu = accU if par[k].ndim == 2 else accU[..., None]
+            out[k] = xp.where(sel, pl[k], xp.where(selu, pu[k], par[k]))
+        return out
+
+    return (apply_merge(luma), apply_merge(cbp), apply_merge(crp),
+            accL, accU)
 
 
 def derive_params(orig, rec, ctu: int, qp: int, *, lam_scale: int = 256):

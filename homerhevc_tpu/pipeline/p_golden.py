@@ -219,7 +219,9 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
             rec = pred
         return lev, rec.astype(np.uint8)
 
+    # ---- loop 1: integer + subpel MV per block (order-independent) ----
     sad = np.zeros((nby, nbx), np.int32)
+    ivs = np.zeros((nby, nbx, 2), np.int32)
     for r in range(nby):
         for c in range(nbx):
             y0, x0 = r * size, c * size
@@ -227,8 +229,49 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
             ix, iy, cost = integer_search(blk, ry, x0, y0, search, lam_fx,
                                           ref4=ry4)
             sad[r, c] = cost
-            mvx, mvy = subpel_refine(blk, ry, x0, y0, (ix, iy), lam_fx,
-                                     me_precision)
+            ivs[r, c] = (ix, iy)
+            mvs[r, c] = subpel_refine(blk, ry, x0, y0, (ix, iy), lam_fx,
+                                      me_precision)
+
+    # ---- loop 2: merge/skip RD twin of p_jax._level_encode ----
+    from .p_jax import MB_LEFT, MB_TOP, MB_ZERO
+    mvs_pre = mvs.copy()               # pre-merge field (candidate source)
+    for r in range(nby):
+        for c in range(nbx):
+            y0, x0 = r * size, c * size
+            blk = y[y0:y0 + size, x0:x0 + size].astype(np.int32)
+            mvx, mvy = int(mvs_pre[r, c, 0]), int(mvs_pre[r, c, 1])
+            vx, vy = int(ivs[r, c, 0]), int(ivs[r, c, 1])
+
+            def sad_at(qx_, qy_):
+                p = interp.mc_luma(ry, PAD, x0, y0, size, size, qx_, qy_)
+                return int(np.abs(blk - p).sum())
+
+            best = (sad_at(mvx, mvy)
+                    + ((lam_fx * (mv_bits_fx(mvx, mvy))) >> 8))
+            cands = []
+            if c > 0:
+                cands.append((int(mvs_pre[r, c - 1, 0]),
+                              int(mvs_pre[r, c - 1, 1]), MB_LEFT))
+            else:
+                cands.append(None)
+            if r > 0:
+                cands.append((int(mvs_pre[r - 1, c, 0]),
+                              int(mvs_pre[r - 1, c, 1]), MB_TOP))
+            else:
+                cands.append(None)
+            cands.append((0, 0, MB_ZERO))
+            for cd in cands:
+                if cd is None:
+                    continue
+                cmx, cmy, mb = cd
+                if mb != MB_ZERO and (abs(cmx - 4 * vx) > 3
+                                      or abs(cmy - 4 * vy) > 3):
+                    continue
+                cost_c = sad_at(cmx, cmy) + ((lam_fx * mb) >> 8)
+                if cost_c < best:
+                    best = cost_c
+                    mvx, mvy = cmx, cmy
             mvs[r, c] = (mvx, mvy)
 
             pred_y = interp.mc_luma(ry, PAD, x0, y0, size, size, mvx, mvy)

@@ -42,6 +42,11 @@ I32 = jnp.int32
 # without a coarse stage) is used. Both are golden-twinned.
 HIER_THRESHOLD = 24
 
+# Merge-signalling bit proxies (merge_flag + unary idx) used by the
+# merge/skip RD in _level_encode and its golden twin — must stay equal in
+# both pipelines (tie-breaks are strict-less in candidate order).
+MB_LEFT, MB_TOP, MB_ZERO = 3, 4, 5
+
 
 def _bits_tab(max_abs: int) -> np.ndarray:
     """bits(c) = 1 + 2*bitlen(|c|) lookup for |c| in 0..max_abs."""
@@ -199,6 +204,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
            .reshape(S, S, nb))
 
     # ---- 49 quarter-pel candidate costs (49, nb) ----
+    sads = []
     costs = []
     for qy, qx in qp_idx:
         fy, fx = qy & 3, qx & 3
@@ -206,7 +212,9 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
         pred = gstack[fy * 4 + fx, 1 + iy:1 + iy + S, 1 + ix:1 + ix + S, :]
         sad = jnp.abs(blk - pred).sum(axis=(0, 1))
         bb = bits_q[jnp.abs(4 * vx + qx)] + bits_q[jnp.abs(4 * vy + qy)]
+        sads.append(sad)
         costs.append(sad + ((lam * bb) >> 8))
+    sad49 = jnp.stack(sads)                         # (49, nb)
     cost49 = jnp.stack(costs)                       # (49, nb)
 
     def strict_min(center_idx, offsets):
@@ -234,6 +242,61 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     mvx = 4 * vx + qx
     mvy = 4 * vy + qy
 
+    # ---- merge/skip RD (role of check_rd_cost_merge_2nx2n,
+    # hmr_motion_inter.c:3493): candidate MVs = left / top neighbor's
+    # subpel pick (evaluated from the 49-grid SADs when within +-3 qpel of
+    # this block's window — the coherent-motion case where merge wins) and
+    # the zero MV (static-slice prediction, always evaluable). Costs use a
+    # merge-signalling bit proxy instead of mvd bits; strict-less over the
+    # ordered list [best-AMVP, left, top, zero], so ties keep AMVP — the
+    # golden twin (p_golden) replicates the same order and constants. The
+    # host walk then re-derives the exact spec merge list from the FINAL
+    # field; a chosen candidate that survives there is coded merge/skip.
+    base_cost = jnp.take_along_axis(cost49, center[None], axis=0)[0]
+    BIGC = jnp.int32(1 << 30)
+    mvxg = mvx.reshape(nby, nbx)
+    mvyg = mvy.reshape(nby, nbx)
+
+    def shifted(a, dr, dc):
+        return jnp.roll(jnp.roll(a, -dr, 0), -dc, 1).reshape(-1)
+
+    best_c = base_cost
+    sel_k = jnp.zeros((nb,), I32)                   # 0 = AMVP/base
+    mvx_s, mvy_s = mvx, mvy
+    r_g = r.reshape(-1)
+    c_g = c.reshape(-1)
+    cands = [(shifted(mvxg, 0, -1), shifted(mvyg, 0, -1), c_g > 0, MB_LEFT),
+             (shifted(mvxg, -1, 0), shifted(mvyg, -1, 0), r_g > 0, MB_TOP)]
+    zero_pred = (ry[PAD:PAD + H, PAD:PAD + W].astype(I32)
+                 .reshape(nby, S, nbx, S).transpose(1, 3, 0, 2)
+                 .reshape(S, S, nb))
+    sad_z = jnp.abs(blk - zero_pred).sum(axis=(0, 1))
+    cands.append((jnp.zeros((nb,), I32), jnp.zeros((nb,), I32),
+                  jnp.ones((nb,), bool), MB_ZERO))
+    for ki, (cmx, cmy, valid, mb) in enumerate(cands):
+        dqx = cmx - 4 * vx
+        dqy = cmy - 4 * vy
+        ing = valid & (jnp.abs(dqx) <= 3) & (jnp.abs(dqy) <= 3)
+        if mb == MB_ZERO:
+            sad_c = sad_z
+            ok = valid
+        else:
+            j = jnp.clip((dqy + 3) * 7 + (dqx + 3), 0, 48)
+            sad_c = jnp.take_along_axis(sad49, j[None], axis=0)[0]
+            ok = ing
+        cost_c = jnp.where(ok, sad_c + ((lam * mb) >> 8), BIGC)
+        better = cost_c < best_c
+        best_c = jnp.where(better, cost_c, best_c)
+        sel_k = jnp.where(better, ki + 1, sel_k)
+        mvx_s = jnp.where(better, cmx, mvx_s)
+        mvy_s = jnp.where(better, cmy, mvy_s)
+    is_zero_sel = (sel_k == 3) | ((mvx_s == 0) & (mvy_s == 0)
+                                  & (sel_k > 0))
+    # in-grid final deltas for the masked pred select (zero handled apart)
+    qy = jnp.where(sel_k > 0, jnp.clip(mvy_s - 4 * vy, -3, 3), qy)
+    qx = jnp.where(sel_k > 0, jnp.clip(mvx_s - 4 * vx, -3, 3), qx)
+    mvx, mvy = mvx_s, mvy_s
+
     # ---- final luma pred: masked plane + shift select ----
     pidx = (qy & 3) * 4 + (qx & 3)                  # (nb,)
     sel = jnp.zeros((G, G, nb), I32)
@@ -246,6 +309,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
         for b in (0, 1):
             m = (sy == a) & (sx == b)
             pred_y = pred_y + jnp.where(m, sel[a:a + S, b:b + S, :], 0)
+    pred_y = jnp.where(is_zero_sel, zero_pred, pred_y)
 
     # ---- chroma MC with per-block 4-tap filter coefficients ----
     ctab = jnp.asarray(interp.CHROMA_FILTERS)
@@ -340,7 +404,9 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     bits_lv = jnp.minimum(
         tables.level_bits_est(lev_y, xp=jnp).reshape(nb, -1).sum(axis=-1),
         16383)
-    mvb = bits_q[jnp.abs(mvx)] + bits_q[jnp.abs(mvy)]
+    mvb = jnp.where(sel_k > 0,
+                    jnp.asarray([0, MB_LEFT, MB_TOP, MB_ZERO], I32)[sel_k],
+                    bits_q[jnp.abs(mvx)] + bits_q[jnp.abs(mvy)])
     ssd = jnp.sum((blk_b - rec_y) * (blk_b - rec_y), axis=(-1, -2))
     cost = ssd + (((lamf >> 4) * (bits_lv + mvb + 6)) >> 4)
 
