@@ -93,8 +93,42 @@ def main(argv=None):
         me_search_range=args.search_range,
         wpp=args.n_wpp_threads > 0)
 
+    if args.gop_size >= 2 and args.backend == "jax":
+        # Streaming IBP: push_frame buffers one B until its anchor arrives
+        # (decode-order output); RC / metrics / SAO(anchors) all supported.
+        from homerhevc_tpu.utils.profiler import Profiler
+        prof = Profiler(enabled=args.profiling)
+        enc = HomerEncoder(cfg, backend="jax", profiler=prof,
+                           fetch_recon=bool(args.output_raw or args.metrics))
+        out_f = open(args.output, "wb") if args.output else None
+        n_in, n_out, total = 0, 0, 0
+        t0 = time.time()
+        frames_iter = read_yuv_frames(args.input, w, h, args.n_frames,
+                                      args.skipped_frames)
+        for y, u, v in frames_iter:
+            n_in += 1
+            for au in enc.push_frame(y, u, v):
+                total += len(au)
+                if out_f:
+                    out_f.write(au)
+                n_out += 1
+        for au in enc.flush():
+            total += len(au)
+            if out_f:
+                out_f.write(au)
+            n_out += 1
+        dt = max(time.time() - t0, 1e-9)
+        print(f"{n_out} frames in {dt * 1000:.0f} milliseconds:"
+              f" {n_out / dt:f} fps ({total * 8 * 25 / max(n_out,1) / 1000:.1f}"
+              f" kbps est)")
+        if args.profiling:
+            print(prof.report())
+        if out_f:
+            out_f.close()
+        return
+
     if args.gop_size >= 2:
-        # IBP needs one-frame reordering; run as a batch sequence.
+        # golden backend: IBP via the offline batch sequence.
         return main_ibp(args, cfg, w, h)
 
     from homerhevc_tpu.utils.profiler import Profiler

@@ -35,15 +35,17 @@ def _pad_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 
-def _tree_decisions(depth_u, mv_u, nz_u, ctu_log2: int, n_cand: int = 5):
+def _tree_decisions(depth_u, mv_u, nz_u, ctu_log2: int, n_cand: int = 5,
+                    pred_intra_u=None):
     """Merge/skip/AMVP decision walk: native C++ when available, Python
     golden twin otherwise (bit-identical; tests/test_native_entropy.py)."""
     from .entropy import native_backend
-    dec = native_backend.derive_tree_decisions_native(depth_u, mv_u, nz_u,
-                                                      ctu_log2, n_cand)
+    dec = native_backend.derive_tree_decisions_native(
+        depth_u, mv_u, nz_u, ctu_log2, n_cand, pred_intra_u=pred_intra_u)
     if dec is None:
         from .ops.inter_golden import derive_tree_decisions
-        dec, _ = derive_tree_decisions(depth_u, mv_u, nz_u, ctu_log2, n_cand)
+        dec, _ = derive_tree_decisions(depth_u, mv_u, nz_u, ctu_log2, n_cand,
+                                       pred_intra_u=pred_intra_u)
     return dec
 
 class HomerEncoder:
@@ -106,11 +108,21 @@ class HomerEncoder:
             min_cu_log2=(3 if self.intra_split
                          else self.intra_b.bit_length() - 1),
             max_tu_log2=min(5, self.ctu_log2),
-            max_tr_depth_intra=0, max_tr_depth_inter=0,
+            max_tr_depth_intra=0,
+            max_tr_depth_inter=(1 if self.inter_split else 0),
             init_qp=c.qp, sign_hiding=c.sign_hiding,
-            deblocking_disabled=not c.deblocking, num_ref_frames=1,
+            deblocking_disabled=not c.deblocking,
+            num_ref_frames=(2 if c.gop_size >= 2 else 1),
             wpp_enabled=c.wpp, sao_enabled=c.sample_adaptive_offset,
-            cb_qp_offset=c.chroma_qp_offset, cr_qp_offset=c.chroma_qp_offset)
+            cb_qp_offset=c.chroma_qp_offset, cr_qp_offset=c.chroma_qp_offset,
+            **({} if c.gop_size < 2 else dict(
+                num_reorder_pics=1,
+                rps_list=(headers.StRefPicSet(delta_pocs=(2,), used=(True,)),
+                          headers.StRefPicSet(delta_pocs=(1,), used=(True,),
+                                              pos_delta_pocs=(1,),
+                                              pos_used=(True,)),
+                          headers.StRefPicSet(delta_pocs=(1,),
+                                              used=(True,))))))
         self.poc = 0
         self.last_idr = 0
         self._ref = None          # host planes (golden) or device (jax)
@@ -118,6 +130,8 @@ class HomerEncoder:
         self.last_qp = c.qp
         self.frame_bytes = []
         self.chunk_overflows = 0
+        self._disp = 0                 # display-order index (gop_size >= 2)
+        self._b_pend = None            # buffered B awaiting its anchor
         # rate control (host-side scalar state; hmr_rate_control.c role)
         self._rc = None
         if c.bitrate_mode != BitrateMode.FIXED_QP:
@@ -201,7 +215,9 @@ class HomerEncoder:
             with self.prof.probe("intra.fetch+maps"):
                 maps = native_backend.maps_from_intra_units(
                     out["mode_units"], out["depth_units"], out["lev_y"],
-                    out["lev_u"], out["lev_v"], depth_offset=depth_offset)
+                    out["lev_u"], out["lev_v"], depth_offset=depth_offset,
+                    part_units=(out.get("part_units")
+                                if self.intra_split else None))
             if deblk:
                 self._ref = p_jax.deblock_intra_device(
                     out["recon_y"], out["recon_u"], out["recon_v"],
@@ -270,6 +286,137 @@ class HomerEncoder:
         else:
             recon = None
         return au, recon
+
+    # ------------------------------------------------------------------
+    def push_frame(self, y, u, v) -> list:
+        """Streaming input in DISPLAY order; returns 0+ Annex-B AUs in
+        DECODE order. With gop_size >= 2 a B frame is buffered until its
+        future anchor arrives (I0, P2, B1, P4, B3, ... — the reference's
+        default IBP structure, hmr_encoder_lib.c:782-821); otherwise plain
+        streaming IPPP (== encode_frame). A pending B whose next anchor is
+        an IDR is emitted as a trailing P BEFORE the IDR (a TRAIL picture
+        must not reference across an IDR)."""
+        c = self.cfg
+        if c.gop_size < 2 or self.backend != "jax":
+            return [self.encode_frame(y, u, v)]
+        d = self._disp
+        self._disp += 1
+        if d % 2 == 1:                       # B position: wait for anchor
+            self._b_pend = (d, (y, u, v))
+            return []
+        out = []
+        prev_ref = self._ref                 # previous anchor (device)
+        is_idr = (d == 0 or (c.intra_period > 0
+                             and (d - self.last_idr) % c.intra_period == 0))
+        if is_idr and self._b_pend is not None:
+            out.append(self._encode_p_explicit(self._b_pend, prev_ref))
+            self._b_pend = None
+        qp = int(np.clip(self._rc.frame_qp(is_idr) if self._rc else c.qp,
+                         0, 51))
+        yp = _pad_to(np.asarray(y, np.uint8), self.ph, self.pw)
+        up = _pad_to(np.asarray(u, np.uint8), self.ph // 2, self.pw // 2)
+        vp = _pad_to(np.asarray(v, np.uint8), self.ph // 2, self.pw // 2)
+        self.poc = d
+        self._scene_idr = False
+        au, _ = self._encode_jax(yp, up, vp, is_idr, qp)
+        if self._scene_idr:
+            is_idr = True
+        if is_idr:
+            self.last_idr = d
+        out.append(au)
+        self.frame_bytes.append(len(au))
+        if self._rc:
+            self._rc.end_frame(len(au) * 8, is_idr)
+        if self._b_pend is not None:
+            pend, self._b_pend = self._b_pend, None
+            if is_idr:                       # scene-cut IDR: no B across it
+                # decode order requires the P before the IDR; reorder the
+                # returned AUs (nothing between them has been emitted yet)
+                out.insert(len(out) - 1,
+                           self._encode_p_explicit(pend, prev_ref))
+            else:
+                out.append(self._encode_b(pend, prev_ref, self._ref))
+        return out
+
+    def flush(self) -> list:
+        """Emit any buffered trailing frame (odd-length sequence: a plain P
+        referencing the previous anchor, rps delta_poc = 1)."""
+        if self._b_pend is None:
+            return []
+        pend, self._b_pend = self._b_pend, None
+        return [self._encode_p_explicit(pend, self._ref)]
+
+    def _encode_p_explicit(self, pend, ref) -> bytes:
+        """P frame against EXPLICIT device reference planes (trailing /
+        pre-IDR position, rps delta_poc = 1). Fixed CU grid — this is a
+        rare structural frame."""
+        import jax.numpy as jnp
+
+        from .pipeline import assemble as asm
+        from .pipeline import p_golden as pg
+        from .pipeline import p_jax
+
+        c = self.cfg
+        d, (y, u, v) = pend
+        qp = int(np.clip(self._rc.frame_qp(False) if self._rc else c.qp,
+                         0, 51))
+        yp = _pad_to(np.asarray(y, np.uint8), self.ph, self.pw)
+        up = _pad_to(np.asarray(u, np.uint8), self.ph // 2, self.pw // 2)
+        vp = _pad_to(np.asarray(v, np.uint8), self.ph // 2, self.pw // 2)
+        out = p_jax.p_frame_device(
+            jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+            ref[0], ref[1], ref[2], B=1 << self.ctu_log2, qp=qp,
+            search=c.me_search_range,
+            me_precision=int(c.motion_estimation_precision), deblock=False,
+            sign_hiding=c.sign_hiding)
+        plan = pg.build_p_plans(
+            np.asarray(out["mvs"]), np.asarray(out["lev_y"]),
+            np.asarray(out["lev_u"]), np.asarray(out["lev_v"]),
+            tuple(np.asarray(out[k]) for k in ("recon_y", "recon_u",
+                                               "recon_v")),
+            size=1 << self.ctu_log2)
+        au = asm.assemble_p_au(self.params, plan.ctu_plans,
+                               poc=d - self.last_idr, slice_qp=qp,
+                               rps_idx=2)
+        self.frame_bytes.append(len(au))
+        if self._rc:
+            self._rc.end_frame(len(au) * 8, False)
+        return au
+
+    def _encode_b(self, pend, ref0, ref1) -> bytes:
+        """One non-reference B frame between two device anchor recons."""
+        import jax.numpy as jnp
+
+        from .pipeline import assemble as asm
+        from .pipeline import b_golden, b_jax
+
+        c = self.cfg
+        d, (y, u, v) = pend
+        qp = int(np.clip(self._rc.frame_qp(False, is_b=True) if self._rc
+                         else c.qp + 2, 0, 51))
+        yp = _pad_to(np.asarray(y, np.uint8), self.ph, self.pw)
+        up = _pad_to(np.asarray(u, np.uint8), self.ph // 2, self.pw // 2)
+        vp = _pad_to(np.asarray(v, np.uint8), self.ph // 2, self.pw // 2)
+        out = b_jax.b_frame_device(
+            jnp.asarray(yp), jnp.asarray(up), jnp.asarray(vp),
+            ref0[0], ref0[1], ref0[2], ref1[0], ref1[1], ref1[2],
+            B=1 << self.ctu_log2, qp=qp, search=c.me_search_range,
+            me_precision=int(c.motion_estimation_precision),
+            sign_hiding=c.sign_hiding)
+        plan = b_golden.build_b_plans(
+            np.asarray(out["idc"]), np.asarray(out["mv0"]),
+            np.asarray(out["mv1"]), np.asarray(out["lev_y"]),
+            np.asarray(out["lev_u"]), np.asarray(out["lev_v"]),
+            (None, None, None), size=1 << self.ctu_log2,
+            poc=d - self.last_idr,
+            poc_refs=(d - 1 - self.last_idr, d + 1 - self.last_idr))
+        au = asm.assemble_p_au(self.params, plan.ctu_plans,
+                               poc=d - self.last_idr, slice_qp=qp,
+                               slice_type=headers.SLICE_B, rps_idx=1)
+        self.frame_bytes.append(len(au))
+        if self._rc:
+            self._rc.end_frame(len(au) * 8, False, is_b=True)
+        return au
 
     # ------------------------------------------------------------------
     def encode_frames(self, frames, *, chunk: int = 8) -> list:
@@ -366,7 +513,9 @@ class HomerEncoder:
                 me_precision=int(c.motion_estimation_precision),
                 sign_hiding=c.sign_hiding, deblock=c.deblocking,
                 sao=c.sample_adaptive_offset,
-                cap=self._chunk_cap, tree=self.inter_split)
+                cap=self._chunk_cap, tree=self.inter_split,
+                tr_split=self.inter_split,
+                intra_in_p=(self.inter_split and ctu == 32))
         self._ref = (fy, fu, fv)
         return wires, denses
 
@@ -424,15 +573,22 @@ class HomerEncoder:
                              .astype(np.int32))
             uh, uw = self.ph // 4, self.pw // 4
             depth_u = np.repeat(np.repeat(w["depth16"], 4, 0), 4, 1)
+            trd_u = np.repeat(np.repeat(w["trd16"], 4, 0), 4, 1)
+            intra_u = np.repeat(np.repeat(w["intra16"], 4, 0), 4, 1)
             mv_u = np.repeat(np.repeat(w["mv16"], 4, 0), 4, 1)
             nz_y = np.any(lev_y.reshape(uh, 4, uw, 4) != 0, axis=(1, 3))
             nz_u = np.any(lev_u.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
             nz_v = np.any(lev_v.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
             nz = nz_y | nz_u | nz_v
             with self.prof.probe("chunk.decisions"):
-                dec = _tree_decisions(depth_u, mv_u, nz, self.ctu_log2, 5)
+                imode_u = np.where(intra_u.astype(bool), mv_u[..., 0], 1)
+                dec = _tree_decisions(depth_u, mv_u, nz, self.ctu_log2, 5,
+                                      pred_intra_u=intra_u)
                 maps = native_backend.maps_from_p_units(depth_u, dec, lev_y,
-                                                        lev_u, lev_v)
+                                                        lev_u, lev_v,
+                                                        tr_depth=trd_u,
+                                                        pred_intra=intra_u,
+                                                        intra_mode=imode_u)
             sao_info = None
             if c.sample_adaptive_offset:
                 pp = w["sao_pp"]
@@ -470,7 +626,8 @@ class HomerEncoder:
                 ydev, udev, vdev, *self._ref, ctu=ctu, qp=qp,
                 search=c.me_search_range,
                 me_precision=int(c.motion_estimation_precision),
-                deblock=deblk, sign_hiding=c.sign_hiding)
+                deblock=deblk, sign_hiding=c.sign_hiding, tr_split=True,
+                intra_in_p=(ctu == 32))
         uh, uw = self.ph // 4, self.pw // 4
         nby, nbx = self.ph // ctu, self.pw // ctu
         npix = self.ph * self.pw
@@ -483,6 +640,8 @@ class HomerEncoder:
             mv_u = meta[o:o + uh * uw * 2].reshape(uh, uw, 2); o += uh * uw * 2
             nz_u = meta[o:o + uh * uw].reshape(uh, uw).astype(bool)
             o += uh * uw
+            trd_u = meta[o:o + uh * uw].reshape(uh, uw); o += uh * uw
+            intra_u = meta[o:o + uh * uw].reshape(uh, uw); o += uh * uw
             sad = meta[o:].reshape(nby, nbx)
         if c.reinit_gop_on_scene_change:
             ms = float(sad.astype(np.int64).mean())
@@ -497,9 +656,14 @@ class HomerEncoder:
         lev_vp = wire[npix + npix // 4:npix + npix // 2].reshape(
             self.ph // 2, self.pw // 2)
         with self.prof.probe("p.decisions+maps"):
-            dec = _tree_decisions(depth_u, mv_u, nz_u, self.ctu_log2, 5)
+            imode_u = np.where(intra_u.astype(bool), mv_u[..., 0], 1)
+            dec = _tree_decisions(depth_u, mv_u, nz_u, self.ctu_log2, 5,
+                                  pred_intra_u=intra_u)
             maps = native_backend.maps_from_p_units(depth_u, dec, lev_yp,
-                                                    lev_up, lev_vp)
+                                                    lev_up, lev_vp,
+                                                    tr_depth=trd_u,
+                                                    pred_intra=intra_u,
+                                                    intra_mode=imode_u)
         key = "ref" if deblk else "recon"
         self._ref = (out[key + "_y"], out[key + "_u"], out[key + "_v"])
         with self.prof.probe("sao"):

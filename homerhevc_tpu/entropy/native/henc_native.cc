@@ -979,7 +979,8 @@ int henc_derive_tree_decisions(const int32_t* depth_u, const int32_t* mv_u,
                                int ctu_log2, int max_merge_cand,
                                uint8_t* skip_u, uint8_t* merge_u,
                                int8_t* midx_u, int8_t* mvp_u,
-                               int32_t* mvd_u) {
+                               int32_t* mvd_u,
+                               const uint8_t* pred_intra_u) {
   int W = uw * 4, H = uh * 4, ctu = 1 << ctu_log2;
   std::vector<int32_t> fmv(uh * uw * 2, 0), fref(uh * uw, -2);
   DecCtx cx{mv_u, fmv.data(), fref.data(), uh, uw};
@@ -989,9 +990,16 @@ int henc_derive_tree_decisions(const int32_t* depth_u, const int32_t* mv_u,
   std::memset(mvp_u, 0, uh * uw);
   std::memset(mvd_u, 0, sizeof(int32_t) * uh * uw * 2);
 
-  // leaf: derive merge/AMVP exactly as the Python golden walk
+  // leaf: derive merge/AMVP exactly as the Python golden walk; intra
+  // leaves (pred_intra) just mark their units unavailable for later
+  // neighbors' candidate lists (spec: intra units are not inter-available)
   auto leaf = [&](int x0, int y0, int size) {
     int ux = x0 >> 2, uy = y0 >> 2, un = size >> 2;
+    if (pred_intra_u && pred_intra_u[uy * uw + ux]) {
+      for (int r = uy; r < uy + un; r++)
+        for (int c = ux; c < ux + un; c++) fref[r * uw + c] = -1;
+      return;
+    }
     int32_t mvx = mv_u[(uy * uw + ux) * 2], mvy = mv_u[(uy * uw + ux) * 2 + 1];
     bool hr = false;
     for (int r = uy; r < uy + un && !hr; r++)

@@ -82,7 +82,8 @@ def available() -> bool:
 
 
 def derive_tree_decisions_native(depth_u, mv_u, has_resid_u, ctu_log2: int,
-                                 max_merge_cand: int = 5):
+                                 max_merge_cand: int = 5,
+                                 pred_intra_u=None):
     """C++ twin of ops.inter_golden.derive_tree_decisions (same sequential
     decode-order walk, ~30x faster). Returns the decisions dict; None if the
     native library is unavailable (caller falls back to Python)."""
@@ -99,10 +100,12 @@ def derive_tree_decisions_native(depth_u, mv_u, has_resid_u, ctu_log2: int,
     mvp = np.zeros((uh, uw), np.int8)
     mvd = np.zeros((uh, uw, 2), np.int32)
     p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    pi = (ctypes.c_void_p(None) if pred_intra_u is None
+          else p(_u8(pred_intra_u)))
     lib.henc_derive_tree_decisions(
         p(depth), p(mv), p(resid), ctypes.c_int(uh), ctypes.c_int(uw),
         ctypes.c_int(ctu_log2), ctypes.c_int(max_merge_cand),
-        p(skip), p(merge), p(midx), p(mvp), p(mvd))
+        p(skip), p(merge), p(midx), p(mvp), p(mvd), pi)
     return dict(skip=skip.astype(bool), merge=merge.astype(bool),
                 merge_idx=midx, mvp_idx=mvp, mvd=mvd)
 
@@ -174,17 +177,28 @@ def _rep_units(a: np.ndarray, un: int) -> np.ndarray:
 
 
 def maps_from_intra_units(mode_units, depth_units, lev_y, lev_u, lev_v,
-                          depth_offset: int = 0) -> dict:
+                          depth_offset: int = 0, part_units=None) -> dict:
     """Frame maps directly from the pipelines' unit-granular mode/depth
-    maps (any quadtree depth)."""
+    maps (any quadtree depth). part_units marks 8x8 CUs coded PART_NxN
+    (per-4x4-PU modes live in mode_units; chroma mode = PU0's, spec
+    7.3.8.5)."""
     m8 = np.ascontiguousarray(np.asarray(mode_units), dtype=np.int8)
     d8 = np.ascontiguousarray(
         np.asarray(depth_units) + depth_offset).astype(np.int8)
     uh, uw = m8.shape
     z8 = np.zeros((uh, uw), np.int8)
-    return dict(depth=d8, luma_mode=m8, chroma_mode=m8, tr_depth=z8,
+    if part_units is None:
+        part = np.zeros((uh, uw), np.uint8)
+        chroma = m8
+    else:
+        part = np.ascontiguousarray(np.asarray(part_units)).astype(np.uint8)
+        # chroma DM follows luma PU0 of each 8x8 CU (2x2 units)
+        pu0 = m8[::2, ::2]
+        chroma = np.repeat(np.repeat(pu0, 2, 0), 2, 1)[:uh, :uw]
+        chroma = np.where(part.astype(bool), chroma, m8).astype(np.int8)
+    return dict(depth=d8, luma_mode=m8, chroma_mode=chroma, tr_depth=z8,
                 merge_idx=z8, mvp_idx=z8,
-                part_nxn=np.zeros((uh, uw), np.uint8),
+                part_nxn=part,
                 pred_intra=np.ones((uh, uw), np.uint8),
                 skip=np.zeros((uh, uw), np.uint8),
                 merge_flag=np.zeros((uh, uw), np.uint8),
@@ -195,18 +209,28 @@ def maps_from_intra_units(mode_units, depth_units, lev_y, lev_u, lev_v,
 
 
 def maps_from_p_units(depth_u, dec: dict, coeff_y, coeff_cb,
-                      coeff_cr) -> dict:
+                      coeff_cr, tr_depth=None, pred_intra=None,
+                      intra_mode=None) -> dict:
     """Frame maps for a quadtree-coded P slice: depth_u and the per-unit
     decision arrays from ops.inter_golden.derive_tree_decisions; coeff
     planes are already frame-level."""
     uh, uw = depth_u.shape
     z8 = np.zeros((uh, uw), np.int8)
+    trd = (z8 if tr_depth is None
+           else np.ascontiguousarray(tr_depth, np.int8))
+    if pred_intra is None:
+        pi = np.zeros((uh, uw), np.uint8)
+        lm = np.ones((uh, uw), np.int8)
+    else:
+        pi = np.ascontiguousarray(pred_intra).astype(np.uint8)
+        lm = np.where(pi.astype(bool),
+                      np.asarray(intra_mode), 1).astype(np.int8)
     return dict(depth=np.ascontiguousarray(depth_u, np.int8),
-                luma_mode=np.ones((uh, uw), np.int8),
-                chroma_mode=np.ones((uh, uw), np.int8),
-                tr_depth=z8,
+                luma_mode=lm,
+                chroma_mode=lm,
+                tr_depth=trd,
                 part_nxn=np.zeros((uh, uw), np.uint8),
-                pred_intra=np.zeros((uh, uw), np.uint8),
+                pred_intra=pi,
                 skip=dec["skip"].astype(np.uint8),
                 merge_flag=dec["merge"].astype(np.uint8),
                 merge_idx=dec["merge_idx"].astype(np.int8),

@@ -219,19 +219,24 @@ def intra_edge_maps(H: int, W: int, tu_size: int):
     return bs_v, bs_h
 
 
-def inter_bs_from_units(depth_u, mv_u, cbf_u, ctu_log2: int, xp=np):
+def inter_bs_from_units(depth_u, mv_u, cbf_u, ctu_log2: int, xp=np,
+                        trd_u=None, intra_u=None):
     """bs maps for a P frame coded as a variable-depth inter CU quadtree
     (spec 8.7.2.4 reduced to the all-inter one-reference case).
 
     depth_u (uh, uw) absolute CU depth per 4x4 unit; mv_u (uh, uw, 2)
     quarter-pel MV per unit; cbf_u (uh, uw) bool per-unit luma TB cbf.
-    TU = min(CU, 32) (the implicit 64-CU split), and PU == CU, so TU
-    starts cover every CU/PU edge. bs = 1 on an edge when either TB has
-    coefficients or the MVs differ by >= one luma sample (4 qpel).
+    TU = min(CU, 32) (the implicit 64-CU split) halved where trd_u marks
+    an explicit depth-1 residual-quadtree split, and PU == CU, so TU
+    starts cover every CU/PU edge. cbf_u must then be TB-granular. bs = 1
+    on an edge when either TB has coefficients or the MVs differ by >= one
+    luma sample (4 qpel).
     """
     uh, uw = depth_u.shape
     cusz = (1 << ctu_log2) >> depth_u.astype(xp.int32)
     tusz = xp.minimum(cusz, 32)
+    if trd_u is not None:      # explicit inter TU split (depth 1): TB=CU/2
+        tusz = xp.where(trd_u.astype(bool), tusz >> 1, tusz)
     posx = (np.arange(uw) * 4).astype(np.int32)
     posy = (np.arange(uh) * 4).astype(np.int32)
     startx = (posx[None, :] & (tusz - 1)) == 0
@@ -241,12 +246,21 @@ def inter_bs_from_units(depth_u, mv_u, cbf_u, ctu_log2: int, xp=np):
         if axis == 1:            # vertical edges: left/right units
             mvl, mvr = mv_u[:, l_idx], mv_u[:, r_idx]
             cl, cr = cbf_u[:, l_idx], cbf_u[:, r_idx]
+            il = intra_u[:, l_idx] if intra_u is not None else False
+            ir = intra_u[:, r_idx] if intra_u is not None else False
         else:                    # horizontal edges: above/below units
             mvl, mvr = mv_u[l_idx, :], mv_u[r_idx, :]
             cl, cr = cbf_u[l_idx, :], cbf_u[r_idx, :]
+            il = intra_u[l_idx, :] if intra_u is not None else False
+            ir = intra_u[r_idx, :] if intra_u is not None else False
         mvdiff = ((abs(mvl[..., 0] - mvr[..., 0]) >= 4)
                   | (abs(mvl[..., 1] - mvr[..., 1]) >= 4))
-        return xp.where(edge & (cl | cr | mvdiff), 1, 0).astype(xp.int32)
+        bs = xp.where(edge & (cl | cr | mvdiff), 1, 0).astype(xp.int32)
+        if intra_u is not None:  # spec 8.7.2.4: either side intra -> bS 2
+            has_i = (xp.asarray(il).astype(bool)
+                     | xp.asarray(ir).astype(bool))
+            bs = xp.where(edge & has_i, 2, bs)
+        return bs
 
     # vertical edges at luma cols 8, 16, ... -> unit cols 2, 4, ...
     cols = np.arange(2, uw, 2)

@@ -172,7 +172,7 @@ def derive_block_decisions(mvs: np.ndarray, has_resid: np.ndarray, size: int,
 
 def derive_tree_decisions(depth_u: np.ndarray, mv_u: np.ndarray,
                           has_resid_u: np.ndarray, ctu_log2: int,
-                          max_merge_cand: int = 5):
+                          max_merge_cand: int = 5, pred_intra_u=None):
     """Sequential host walk over a variable-depth inter CU quadtree.
 
     depth_u (uh, uw) absolute CU depth per 4x4 unit, mv_u (uh, uw, 2)
@@ -196,6 +196,11 @@ def derive_tree_decisions(depth_u: np.ndarray, mv_u: np.ndarray,
     def leaf(x0, y0, size):
         ux, uy = x0 // 4, y0 // 4
         un = size // 4
+        if pred_intra_u is not None and pred_intra_u[uy, ux]:
+            # intra CU in a P slice: units unavailable for later inter
+            # candidate lists (spec 8.5.3.2.3); no inter syntax derived
+            fld.ref_idx[uy:uy + un, ux:ux + un] = -1
+            return
         mvx = int(mv_u[uy, ux, 0])
         mvy = int(mv_u[uy, ux, 1])
         hr = bool(has_resid_u[uy:uy + un, ux:ux + un].any())

@@ -227,7 +227,8 @@ def assemble_idr_au_from_maps(params: headers.StreamParams, maps: dict, *,
 
 def assemble_p_au_from_maps(params: headers.StreamParams, maps: dict, *,
                             poc: int, slice_qp: int, max_merge_cand: int = 5,
-                            sao_info: dict | None = None) -> bytes:
+                            sao_info: dict | None = None,
+                            rps_idx: int = 0) -> bytes:
     """P AU via the native maps fast path."""
     from ..entropy import native_backend
     if params.wpp_enabled:
@@ -238,7 +239,7 @@ def assemble_p_au_from_maps(params: headers.StreamParams, maps: dict, *,
                                slice_type=headers.SLICE_P, is_idr=False,
                                is_irap=False, poc=poc, slice_qp=slice_qp,
                                max_merge_cand=max_merge_cand,
-                               sao_info=sao_info)
+                               sao_info=sao_info, rps_idx=rps_idx)
     else:
         data = native_backend.encode_slice_from_maps(
             params, maps, slice_qp=slice_qp, slice_type=headers.SLICE_P,
@@ -246,6 +247,6 @@ def assemble_p_au_from_maps(params: headers.StreamParams, maps: dict, *,
         sh = headers.write_slice_header(
             params, slice_type=headers.SLICE_P, is_idr=False, is_irap=False,
             poc=poc, slice_qp=slice_qp, max_merge_cand=max_merge_cand,
-            **_sao_flags(sao_info))
+            rps_idx=rps_idx, **_sao_flags(sao_info))
     return bs.annexb_wrap(bs.nal_unit(bs.NAL_TRAIL_R,
                                       sh.get_bytes() + data), True)

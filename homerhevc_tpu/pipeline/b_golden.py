@@ -53,9 +53,12 @@ def encode_b_frame(y, u, v, ref0, ref1, *, qp: int, ctu_log2: int = 5,
     rec_y = np.zeros((h, w), np.uint8)
     rec_u = np.zeros((h // 2, w // 2), np.uint8)
     rec_v = np.zeros((h // 2, w // 2), np.uint8)
-    fld = BMotionField(uh, uw)
-    cbf_y_unit = np.zeros((uh, uw), bool)
-    plans = []
+    arr_idc = np.zeros((nby, nbx), np.int32)
+    arr_mv0 = np.zeros((nby, nbx, 2), np.int32)
+    arr_mv1 = np.zeros((nby, nbx, 2), np.int32)
+    arr_lev_y = np.zeros((nby, nbx, size, size), np.int32)
+    arr_lev_u = np.zeros((nby, nbx, size // 2, size // 2), np.int32)
+    arr_lev_v = np.zeros_like(arr_lev_u)
 
     def code_block(orig, pred, qpq, lg2):
         resid = orig.astype(np.int32) - pred
@@ -69,7 +72,7 @@ def encode_b_frame(y, u, v, ref0, ref1, *, qp: int, ctu_log2: int = 5,
         else:
             r = np.zeros_like(resid)
         rec = np.clip(pred + r, 0, 255)
-        lamf = int(tables.LAMBDA_FX[qpq])
+        lamf = int(tables.LAMBDA_FX_P[qpq])
         o32 = orig.astype(np.int32)
         ssd_c = int(((o32 - rec) ** 2).sum())
         ssd_s = int(((o32 - pred) ** 2).sum())
@@ -133,6 +136,46 @@ def encode_b_frame(y, u, v, ref0, ref1, *, qp: int, ctu_log2: int = 5,
                                      qp_c, log2 - 1)
             has_resid = bool(np.any(lev_y) or np.any(lev_u) or np.any(lev_v))
 
+            arr_idc[r, c] = idc
+            arr_mv0[r, c] = mvs[0] if idc != 1 else (0, 0)
+            arr_mv1[r, c] = mvs[1] if idc != 0 else (0, 0)
+            arr_lev_y[r, c] = lev_y
+            arr_lev_u[r, c] = lev_u
+            arr_lev_v[r, c] = lev_v
+            rec_y[y0:y0 + size, x0:x0 + size] = rc_y
+            rec_u[cy0:cy0 + cs, cx0:cx0 + cs] = rc_u
+            rec_v[cy0:cy0 + cs, cx0:cx0 + cs] = rc_v
+
+    return build_b_plans(arr_idc, arr_mv0, arr_mv1, arr_lev_y, arr_lev_u,
+                         arr_lev_v, (rec_y, rec_u, rec_v), size=size,
+                         poc=poc, poc_refs=poc_refs,
+                         max_merge_cand=max_merge_cand)
+
+
+def build_b_plans(idc_a, mv0_a, mv1_a, lev_y_a, lev_u_a, lev_v_a, recon, *,
+                  size: int, poc: int, poc_refs, max_merge_cand: int = 5):
+    """Stage B: sequential decode-order merge/AMVP walk over per-block
+    arrays — shared by the golden and device (b_jax) B pipelines."""
+    nby, nbx = idc_a.shape
+    h, w = nby * size, nbx * size
+    uh, uw = h // 4, w // 4
+    units = size // 4
+    fld = BMotionField(uh, uw)
+    cbf_y_unit = np.zeros((uh, uw), bool)
+    plans = []
+    rec_y, rec_u, rec_v = recon
+    for r in range(nby):
+        for c in range(nbx):
+            y0, x0 = r * size, c * size
+            idc = int(idc_a[r, c])
+            mv0 = (int(mv0_a[r, c, 0]), int(mv0_a[r, c, 1]))
+            mv1 = (int(mv1_a[r, c, 0]), int(mv1_a[r, c, 1]))
+            motion = BMotion(idc != 1, idc != 0, mv0, mv1)
+            lev_y = np.asarray(lev_y_a[r, c])
+            lev_u = np.asarray(lev_u_a[r, c])
+            lev_v = np.asarray(lev_v_a[r, c])
+            has_resid = bool(np.any(lev_y) or np.any(lev_u) or np.any(lev_v))
+
             # decisions against decoder-exact candidate lists
             mcands = merge_candidates_b(fld, x0, y0, size, max_merge_cand)
             mi = next((i for i, cd in enumerate(mcands)
@@ -164,9 +207,6 @@ def encode_b_frame(y, u, v, ref0, ref1, *, qp: int, ctu_log2: int = 5,
             if merge:
                 # decoder uses the merge candidate's full motion
                 motion = mcands[mi]
-            rec_y[y0:y0 + size, x0:x0 + size] = rc_y
-            rec_u[cy0:cy0 + cs, cx0:cx0 + cs] = rc_u
-            rec_v[cy0:cy0 + cs, cx0:cx0 + cs] = rc_v
             fld.set_cu(x0, y0, size, motion)
             cbf_y_unit[y0 // 4:(y0 + size) // 4,
                        x0 // 4:(x0 + size) // 4] = bool(np.any(lev_y))

@@ -193,7 +193,8 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
 def encode_ibp(frames, *, qp: int, ctu_log2: int = 5, deblocking: bool = True,
                search: int = 16, me_precision: int = 2,
                max_merge_cand: int = 5,
-               sign_hiding: bool = False) -> SequenceResult:
+               sign_hiding: bool = False,
+               backend: str = "golden") -> SequenceResult:
     """IBP GOP (gop_size 2, one B between anchors) — the reference's default
     structure (hmr_encoder_lib.c:782-821 decode-order GOP tables).
 
@@ -202,6 +203,56 @@ def encode_ibp(frames, *, qp: int, ctu_log2: int = 5, deblocking: bool = True,
     """
     from ..ops.inter_b import inter_bs_maps_b
     from . import b_golden
+
+    def _plan_p(yy, uu, vv, ref):
+        if backend == "jax":
+            import jax.numpy as jnp
+            from . import p_jax
+            out = p_jax.p_frame_device(
+                jnp.asarray(yy), jnp.asarray(uu), jnp.asarray(vv),
+                jnp.asarray(ref[0]), jnp.asarray(ref[1]),
+                jnp.asarray(ref[2]), B=1 << ctu_log2, qp=qp, search=search,
+                me_precision=me_precision, deblock=False,
+                sign_hiding=sign_hiding)
+            return p_golden.build_p_plans(
+                np.asarray(out["mvs"]), np.asarray(out["lev_y"]),
+                np.asarray(out["lev_u"]), np.asarray(out["lev_v"]),
+                tuple(np.asarray(out[k]) for k in ("recon_y", "recon_u",
+                                                   "recon_v")),
+                size=1 << ctu_log2, max_merge_cand=max_merge_cand)
+        return p_golden.encode_p_frame(
+            yy, uu, vv, ref, qp=qp, ctu_log2=ctu_log2, search=search,
+            me_precision=me_precision, max_merge_cand=max_merge_cand,
+            sign_hiding=sign_hiding)
+
+    def _plan_b(yy, uu, vv, ref0, ref1, poc, poc_refs):
+        if backend == "jax":
+            import jax.numpy as jnp
+            from . import b_jax
+            out = b_jax.b_frame_device(
+                jnp.asarray(yy), jnp.asarray(uu), jnp.asarray(vv),
+                jnp.asarray(ref0[0]), jnp.asarray(ref0[1]),
+                jnp.asarray(ref0[2]), jnp.asarray(ref1[0]),
+                jnp.asarray(ref1[1]), jnp.asarray(ref1[2]),
+                B=1 << ctu_log2, qp=qp, search=search,
+                me_precision=me_precision, sign_hiding=sign_hiding)
+            nby, nbx = np.asarray(out["idc"]).shape
+            recy = (np.asarray(out["rec_y"]).transpose(0, 2, 1, 3)
+                    .reshape(h, w).astype(np.uint8))
+            recu = (np.asarray(out["rec_u"]).transpose(0, 2, 1, 3)
+                    .reshape(h // 2, w // 2).astype(np.uint8))
+            recv = (np.asarray(out["rec_v"]).transpose(0, 2, 1, 3)
+                    .reshape(h // 2, w // 2).astype(np.uint8))
+            return b_golden.build_b_plans(
+                np.asarray(out["idc"]), np.asarray(out["mv0"]),
+                np.asarray(out["mv1"]), np.asarray(out["lev_y"]),
+                np.asarray(out["lev_u"]), np.asarray(out["lev_v"]),
+                (recy, recu, recv), size=1 << ctu_log2, poc=poc,
+                poc_refs=poc_refs, max_merge_cand=max_merge_cand)
+        return b_golden.encode_b_frame(
+            yy, uu, vv, ref0, ref1, qp=qp, ctu_log2=ctu_log2, search=search,
+            me_precision=me_precision, max_merge_cand=max_merge_cand,
+            sign_hiding=sign_hiding, poc=poc, poc_refs=poc_refs)
 
     frames = list(frames)
     n = len(frames)
@@ -250,10 +301,7 @@ def encode_ibp(frames, *, qp: int, ctu_log2: int = 5, deblocking: bool = True,
     while t < n:
         if t + 1 < n:
             # next anchor P at t+1 (decode-order first)
-            pplan = p_golden.encode_p_frame(
-                *frames[t + 1], prev_anchor, qp=qp, ctu_log2=ctu_log2,
-                search=search, me_precision=me_precision,
-                max_merge_cand=max_merge_cand, sign_hiding=sign_hiding)
+            pplan = _plan_p(*frames[t + 1], prev_anchor)
             au = assemble.assemble_p_au(params, pplan.ctu_plans, poc=t + 1,
                                         slice_qp=qp,
                                         max_merge_cand=max_merge_cand,
@@ -265,11 +313,8 @@ def encode_ibp(frames, *, qp: int, ctu_log2: int = 5, deblocking: bool = True,
                                         deblocking)
             recons[t + 1] = new_anchor
             # B between the anchors
-            bplan = b_golden.encode_b_frame(
-                *frames[t], prev_anchor, new_anchor, qp=qp,
-                ctu_log2=ctu_log2, search=search,
-                me_precision=me_precision, max_merge_cand=max_merge_cand,
-                sign_hiding=sign_hiding, poc=t, poc_refs=(t - 1, t + 1))
+            bplan = _plan_b(*frames[t], prev_anchor, new_anchor, t,
+                            (t - 1, t + 1))
             au = assemble.assemble_p_au(params, bplan.ctu_plans, poc=t,
                                         slice_qp=qp,
                                         max_merge_cand=max_merge_cand,
@@ -283,10 +328,7 @@ def encode_ibp(frames, *, qp: int, ctu_log2: int = 5, deblocking: bool = True,
             t += 2
         else:
             # trailing frame: plain P referencing the previous anchor
-            pplan = p_golden.encode_p_frame(
-                *frames[t], prev_anchor, qp=qp, ctu_log2=ctu_log2,
-                search=search, me_precision=me_precision,
-                max_merge_cand=max_merge_cand, sign_hiding=sign_hiding)
+            pplan = _plan_p(*frames[t], prev_anchor)
             au = assemble.assemble_p_au(params, pplan.ctu_plans, poc=t,
                                         slice_qp=qp,
                                         max_merge_cand=max_merge_cand,

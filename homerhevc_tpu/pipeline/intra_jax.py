@@ -225,11 +225,14 @@ def _encode_block_one_mode(orig, top, left, corner, has_left, has_top, m, *,
 
 
 def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
-                 c_idx, qp, lam_fx, sign_hiding, strong_smoothing=False):
+                 c_idx, qp, lam_fx, sign_hiding, strong_smoothing=False,
+                 f_part=None):
     """CU following a DECIDED quadtree: split iff the co-located map depth
     exceeds `depth`; mode from the co-located map. Used for chroma (DM from
     luma) and, in the two-pass design, for luma applying the open-loop
-    maps. f_mode/f_depth are unit-granular for this component."""
+    maps. f_mode/f_depth are unit-granular for this component; f_part
+    (luma only) marks 8x8 leaves coded as PART_NxN — four z-order 4x4 PUs
+    with per-PU modes and 4x4 DST luma TBs."""
     top, left, corner, hl, ht = refs
     trow_vec, lcol_vec, x0, top_limit, W = aux
     m = f_mode[0, 0]
@@ -238,6 +241,24 @@ def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
         lam_fx=lam_fx, strong_smoothing=strong_smoothing and size == 32,
         sign_hiding=sign_hiding)
     if size <= min_size:
+        if f_part is not None and c_idx == 0 and size == 8:
+            lev_n = jnp.zeros((8, 8), I32)
+            rec_n = jnp.zeros((8, 8), I32)
+            for (hx, hy) in _Z_CHILDREN:
+                cx, cy = hx * 4, hy * 4
+                t_c, l_c, co_c, hl_c, ht_c = _child_refs(
+                    trow_vec, lcol_vec, corner, rec_n, cx, cy, 4, hl, ht,
+                    x0, W, top_limit)
+                oc = jax.lax.dynamic_slice(o, (cy, cx), (4, 4))
+                lv_c, rc_c = _encode_block_one_mode(
+                    oc, t_c, l_c, co_c, hl_c, ht_c, f_mode[hy, hx], size=4,
+                    c_idx=0, qp=qp, lam_fx=lam_fx, strong_smoothing=False,
+                    sign_hiding=sign_hiding)
+                lev_n = jax.lax.dynamic_update_slice(lev_n, lv_c, (cy, cx))
+                rec_n = jax.lax.dynamic_update_slice(rec_n, rc_c, (cy, cx))
+            part = f_part[0, 0]
+            lev = jnp.where(part, lev_n, lev)
+            rec = jnp.where(part, rec_n, rec)
         return lev, rec
 
     h = size // 2
@@ -253,10 +274,13 @@ def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
         hu = h // 4
         fm_c = jax.lax.dynamic_slice(f_mode, (cy // 4, cx // 4), (hu, hu))
         fd_c = jax.lax.dynamic_slice(f_depth, (cy // 4, cx // 4), (hu, hu))
+        fp_c = (None if f_part is None else
+                jax.lax.dynamic_slice(f_part, (cy // 4, cx // 4), (hu, hu)))
         lv_c, rc_c = _follow_unit(
             oc, refs_c, aux_c + (W,), fm_c, fd_c, size=h, depth=depth + 1,
             min_size=min_size, c_idx=c_idx, qp=qp, lam_fx=lam_fx,
-            sign_hiding=sign_hiding, strong_smoothing=strong_smoothing)
+            sign_hiding=sign_hiding, strong_smoothing=strong_smoothing,
+            f_part=fp_c)
         lev_s = jax.lax.dynamic_update_slice(lev_s, lv_c, (cy, cx))
         rec_s = jax.lax.dynamic_update_slice(rec_s, rc_c, (cy, cx))
     split = f_depth[0, 0] > depth
@@ -277,7 +301,7 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing):
     Returns (mode_u, depth_u) unit maps (uh, uw), depth 0 == B."""
     H, W = y_pad.shape
     orig = y_pad.astype(I32)
-    sizes = [s for s in (8, 16, 32) if s <= B]
+    sizes = [s for s in (4, 8, 16, 32) if s <= B]
     ov = ((lam_fx >> 4) * 14) >> 4
     best = {}
     for S in sizes:
@@ -321,7 +345,14 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing):
 
     m8, c8 = best[8]
     m16, c16 = best[16]
-    c8s = sum4(c8) + ov
+    # NxN at the 8x8 leaf: four 4x4 PUs (extra part bin + 3 mode signals)
+    # vs one 2Nx2N — role of the reference's PART_SIZE_NxN intra search
+    # (hmr_motion_intra.c:1759-1990). 4x4 luma TBs bring the DST into play.
+    m4, c4 = best[4]
+    c4s = sum4(c4) + (((lam_fx >> 4) * 20) >> 4)
+    part8 = c4s < c8
+    c8e = jnp.where(part8, c4s, c8)
+    c8s = sum4(c8e) + ov
     split16 = c8s < c16
     c16e = jnp.where(split16, c8s, c16)
     if 32 in best:
@@ -332,11 +363,14 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing):
         depth_u = jnp.where(~mm32, 0, jnp.where(~mm16, 1, 2))
         mode_u = jnp.where(~mm32, upu(m32, 32),
                            jnp.where(~mm16, upu(m16, 16), upu(m8, 8)))
+        part_u = mm32 & mm16 & upu(part8, 8)
     else:
         mm16 = upu(split16, 16)
         depth_u = jnp.where(mm16, 1, 0).astype(I32)
         mode_u = jnp.where(mm16, upu(m8, 8), upu(m16, 16))
-    return mode_u.astype(I32), depth_u.astype(I32)
+        part_u = mm16 & upu(part8, 8)
+    mode_u = jnp.where(part_u, m4, mode_u)          # per-4x4-PU modes
+    return mode_u.astype(I32), depth_u.astype(I32), part_u
 
 
 def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
@@ -386,17 +420,20 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
         Bu = B // 4
         mode_u = jax.lax.dynamic_slice(maps[0], (r * Bu, cc * Bu), (Bu, Bu))
         depth_u = jax.lax.dynamic_slice(maps[1], (r * Bu, cc * Bu), (Bu, Bu))
+        part_u = jax.lax.dynamic_slice(maps[2], (r * Bu, cc * Bu), (Bu, Bu))
         lev_y, rec_y = _follow_unit(
             orig.astype(I32), (top, left, corner, has_left, has_top),
             (trow_y, lcol_y, x0, lim_y, W), mode_u, depth_u, size=B,
             depth=0, min_size=8, c_idx=0, qp=qp, lam_fx=lam,
-            sign_hiding=sign_hiding, strong_smoothing=strong_smoothing)
+            sign_hiding=sign_hiding, strong_smoothing=strong_smoothing,
+            f_part=part_u)
     else:
         lev_y, rec_y, mode_u, depth_u, _ = _search_unit(
             orig.astype(I32), (top, left, corner, has_left, has_top),
             (trow_y, lcol_y, x0, lim_y, W), size=B, min_size=B,
             c_idx=0, qp=qp, lam_fx=lam, strong_smoothing=strong_smoothing,
             sign_hiding=sign_hiding)
+        part_u = jnp.zeros_like(depth_u, dtype=bool)
 
     # ---- chroma: follows the luma quadtree with derived modes ----
     cx0 = cc * B2
@@ -416,7 +453,7 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
     lev_v, rec_v = chroma(v_pad, bot_v, right_v, 2, qp_c)
 
     return dict(valid=valid, cc=cc, mode=mode_u[0, 0],
-                mode_u=mode_u, depth_u=depth_u,
+                mode_u=mode_u, depth_u=depth_u, part_u=part_u,
                 lev_y=lev_y, rec_y=rec_y, lev_u=lev_u, rec_u=rec_u,
                 lev_v=lev_v, rec_v=rec_v)
 
@@ -450,6 +487,7 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
     lev = jnp.zeros((B, B), I32)
     mode_u = jnp.zeros((16, 16), I32)
     depth_u = jnp.zeros((16, 16), I32)
+    part_u = jnp.zeros((16, 16), bool)
     for (hx, hy) in _Z_CHILDREN:
         cx, cy = hx * 32, hy * 32
         refs_c = _child_refs(trow, lcol, corner64, rec, cx, cy, 32,
@@ -461,10 +499,15 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
                                                  cc * 16 + cx // 4), (8, 8))
             du = jax.lax.dynamic_slice(maps[1], (r * 16 + cy // 4,
                                                  cc * 16 + cx // 4), (8, 8))
+            pu = jax.lax.dynamic_slice(maps[2], (r * 16 + cy // 4,
+                                                 cc * 16 + cx // 4), (8, 8))
             lv, rc = _follow_unit(
                 oc, refs_c, aux_c + (W,), mu, du, size=32, depth=0,
                 min_size=8, c_idx=0, qp=qp, lam_fx=lam,
-                sign_hiding=sign_hiding, strong_smoothing=strong_smoothing)
+                sign_hiding=sign_hiding, strong_smoothing=strong_smoothing,
+                f_part=pu)
+            part_u = jax.lax.dynamic_update_slice(part_u, pu,
+                                                  (cy // 4, cx // 4))
         else:
             lv, rc, mu, du, _ = _search_unit(
                 oc, refs_c, aux_c + (W,), size=32, min_size=32, c_idx=0,
@@ -509,6 +552,7 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
     lev_v, rec_v = chroma(v_pad, bot_v, right_v, 2, qp_c)
 
     return dict(valid=valid, cc=cc, mode_u=mode_u, depth_u=depth_u,
+                part_u=part_u,
                 lev_y=lev_y, rec_y=rec_y, lev_u=lev_u, rec_u=rec_u,
                 lev_v=lev_v, rec_v=rec_v)
 
@@ -549,6 +593,7 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         bot_v=jnp.zeros((nby, W // 2), I32), right_v=jnp.zeros((nby, B2), I32),
         mode_u=jnp.zeros((nby, nbx, B // 4, B // 4), I32),
         depth_u=jnp.zeros((nby, nbx, B // 4, B // 4), I32),
+        part_u=jnp.zeros((nby, nbx, B // 4, B // 4), bool),
         lev_y=jnp.zeros((nby, nbx, B, B), I32),
         lev_u=jnp.zeros((nby, nbx, B2, B2), I32),
         lev_v=jnp.zeros((nby, nbx, B2, B2), I32),
@@ -588,8 +633,8 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         x0s = cc * B
         cx0s = cc * B2
         st = dict(st)
-        for key in ("mode_u", "depth_u", "lev_y", "rec_y", "lev_u", "rec_u",
-                    "lev_v", "rec_v"):
+        for key in ("mode_u", "depth_u", "part_u", "lev_y", "rec_y",
+                    "lev_u", "rec_u", "lev_v", "rec_v"):
             st[key] = scatter_blocks(st[key], outs[key])
         st["bot_y"] = scatter_row(st["bot_y"], outs["rec_y"][:, -1, :], x0s, B)
         st["bot_u"] = scatter_row(st["bot_u"], outs["rec_u"][:, -1, :], cx0s, B2)
@@ -609,6 +654,7 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         modes=st["mode_u"][:, :, 0, 0],
         mode_units=blocks_to_plane(st["mode_u"], B // 4),
         depth_units=blocks_to_plane(st["depth_u"], B // 4),
+        part_units=blocks_to_plane(st["part_u"], B // 4),
         lev_y=st["lev_y"], lev_u=st["lev_u"], lev_v=st["lev_v"],
         recon_y=blocks_to_plane(st["rec_y"], B).astype(jnp.uint8),
         recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),
@@ -641,6 +687,7 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
         bot_v=jnp.zeros((nby, W // 2), I32), right_v=jnp.zeros((nby, B2), I32),
         mode_u=jnp.zeros((nby, nbx, 16, 16), I32),
         depth_u=jnp.zeros((nby, nbx, 16, 16), I32),
+        part_u=jnp.zeros((nby, nbx, 16, 16), bool),
         lev_y=jnp.zeros((nby, nbx, B, B), I32),
         lev_u=jnp.zeros((nby, nbx, B2, B2), I32),
         lev_v=jnp.zeros((nby, nbx, B2, B2), I32),
@@ -676,8 +723,8 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
                 jnp.where(v[:, None], new_bottom, old))
 
         st = dict(st)
-        for key in ("mode_u", "depth_u", "lev_y", "rec_y", "lev_u", "rec_u",
-                    "lev_v", "rec_v"):
+        for key in ("mode_u", "depth_u", "part_u", "lev_y", "rec_y",
+                    "lev_u", "rec_u", "lev_v", "rec_v"):
             st[key] = scatter_blocks(st[key], outs[key])
         st["bot_y"] = scatter_row(st["bot_y"], outs["rec_y"][:, -1, :],
                                   cc * B, B)
@@ -702,6 +749,7 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
     return dict(
         mode_units=blocks_to_plane(st["mode_u"], 16),
         depth_units=blocks_to_plane(st["depth_u"], 16),
+        part_units=blocks_to_plane(st["part_u"], 16),
         lev_y=st["lev_y"], lev_u=st["lev_u"], lev_v=st["lev_v"],
         recon_y=blocks_to_plane(st["rec_y"], B).astype(jnp.uint8),
         recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),

@@ -104,6 +104,8 @@ def unpack_wire(row: np.ndarray, H: int, W: int, ctu: int, cap: int):
     out["vals"] = np.ascontiguousarray(out["vals"]).view(np.int16)
     d = out.pop("dec16")
     out["depth16"] = (d & 3).astype(np.int32)
+    out["trd16"] = ((d >> 2) & 1).astype(np.int32)
+    out["intra16"] = ((d >> 3) & 1).astype(np.int32)
     out["mv16"] = np.stack([((d >> 4) & 4095) - 2048,
                             ((d >> 16) & 4095) - 2048], -1).astype(np.int32)
     return out
@@ -149,10 +151,11 @@ def _sao_device(cur, rec, ctu: int, qp: int, qp_c: int):
 @functools.partial(jax.jit,
                    static_argnames=("ctu", "search", "me_precision",
                                     "sign_hiding", "deblock", "sao", "cap",
-                                    "tree"))
+                                    "tree", "tr_split", "intra_in_p"))
 def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                    search: int, me_precision: int, sign_hiding: bool,
-                   deblock: bool, sao: bool, cap: int, tree: bool):
+                   deblock: bool, sao: bool, cap: int, tree: bool,
+                   tr_split: bool = False, intra_in_p: bool = False):
     """Encode K consecutive P frames in one dispatch.
 
     ys (K, H, W) uint8 etc.; qps (K,) int32. Returns (wires (K, L) int32,
@@ -173,7 +176,8 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
         if tree:
             res = p_jax._p_stage_tree(
                 y, u, v, ryp, rup, rvp, ctu=ctu, qp=qp, search=search,
-                me_precision=me_precision, sign_hiding=sign_hiding)
+                me_precision=me_precision, sign_hiding=sign_hiding,
+                tr_split=tr_split, intra_in_p=intra_in_p)
             depth_u = res["depth_u"]
             mv_u = res["mv_u"]
             cbf_u = res["cbf_u"]
@@ -183,10 +187,15 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
             lev_vp = res["lev_v"]
             rec = (res["recon_y"].astype(I32), res["recon_u"].astype(I32),
                    res["recon_v"].astype(I32))
+            trd_u = res["trd_u"]
+            intra_u = res["pred_intra_u"]
             if deblock:
                 bs_v, bs_h = dbk.inter_bs_from_units(
-                    depth_u, mv_u, cbf_u, ctu.bit_length() - 1, xp=jnp)
+                    depth_u, mv_u, cbf_u, ctu.bit_length() - 1, xp=jnp,
+                    trd_u=trd_u, intra_u=intra_u)
         else:
+            trd_u = jnp.zeros((uh, uw), I32)
+            intra_u = jnp.zeros((uh, uw), I32)
             res = p_jax._p_stage(y, u, v, ryp, rup, rvp, B=ctu, qp=qp,
                                  search=search, me_precision=me_precision,
                                  sign_hiding=sign_hiding)
@@ -251,6 +260,8 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
             vals.reshape(cap, 8, 2), I32).reshape(cap, 8)
 
         dec16 = ((depth_u[::4, ::4] & 3)
+                 | ((trd_u[::4, ::4] & 1) << 2)
+                 | ((intra_u[::4, ::4] & 1) << 3)
                  | ((mv_u[::4, ::4, 0] + 2048) << 4)
                  | ((mv_u[::4, ::4, 1] + 2048) << 16))
         wire = jnp.concatenate([

@@ -36,9 +36,9 @@ class PFramePlan:
 
 
 def lambda_me_fx(qp: int) -> int:
-    """sqrt(lambda) in x256 fixed point (SAD-domain lambda, HM convention)."""
-    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
-    return int(round(lam ** 0.5 * 256))
+    """sqrt(P-slice lambda) in x256 fixed point (SAD-domain, HM convention
+    with the inter lambda scale — see tables.P_LAMBDA_SCALE)."""
+    return int(tables.LAMBDA_ME_FX_P[min(max(qp, 0), 51)])
 
 
 HIER_THRESHOLD = 24     # keep equal to p_jax.HIER_THRESHOLD
@@ -209,7 +209,7 @@ def encode_p_frame(y, u, v, ref_planes, *, qp: int, ctu_log2: int = 5,
             r = np.zeros_like(resid)
         rec = np.clip(pred + r, 0, 255)
         # skip-vs-code RD (hmr_motion_inter.c:106): identical ints to p_jax
-        lamf = int(tables.LAMBDA_FX[qpq])
+        lamf = int(tables.LAMBDA_FX_P[qpq])
         o32 = orig.astype(np.int32)
         ssd_c = int(((o32 - rec) ** 2).sum())
         ssd_s = int(((o32 - pred) ** 2).sum())

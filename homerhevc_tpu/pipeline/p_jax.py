@@ -90,7 +90,7 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
     B2 = B // 2
     qp = jnp.asarray(qp, I32)
     qp_c = tables.chroma_qp_from_luma(qp, xp=jnp)
-    lam = jnp.asarray(tables.LAMBDA_ME_FX)[qp]
+    lam = jnp.asarray(tables.LAMBDA_ME_FX_P)[qp]
     log2 = B.bit_length() - 1
 
     cur = y_pad.astype(I32)
@@ -144,7 +144,7 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
 
 
 def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
-                  lam, search, me_precision, sign_hiding):
+                  lam, search, me_precision, sign_hiding, tr_split=False):
     """Subpel refinement + MC + residual coding for every S-sized block of
     the frame. Returns per-block arrays plus an integer RD cost (luma SSD +
     lambda*(level-bits-est + mv bits)) used by the quadtree split decision.
@@ -165,7 +165,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
 
     bits_q = jnp.asarray(_bits_tab(4 * search + 16), I32)
     qp_idx = [(qy, qx) for qy in range(-3, 4) for qx in range(-3, 4)]
-    lam_full_t = jnp.asarray(tables.LAMBDA_FX)
+    lam_full_t = jnp.asarray(tables.LAMBDA_FX_P)
 
     bi = jnp.arange(nb, dtype=I32)
     r = bi // nbx
@@ -395,9 +395,47 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
 
     cmax_tb = 4 if log2 == 6 else 5
     blk_b = tob(blk)
-    lev_y, rec_y = code(blk_b, tob(pred_y), qp, log2)
-    lev_u, rec_u = code(tob(blk_u), tob(pred_u), qp_c, log2 - 1, cmax_tb)
-    lev_v, rec_v = code(tob(blk_v), tob(pred_v), qp_c, log2 - 1, cmax_tb)
+    blk_ub, blk_vb = tob(blk_u), tob(blk_v)
+    pred_yb, pred_ub, pred_vb = tob(pred_y), tob(pred_u), tob(pred_v)
+    lev_y, rec_y = code(blk_b, pred_yb, qp, log2)
+    lev_u, rec_u = code(blk_ub, pred_ub, qp_c, log2 - 1, cmax_tb)
+    lev_v, rec_v = code(blk_vb, pred_vb, qp_c, log2 - 1, cmax_tb)
+    trd = jnp.zeros((nb,), I32)
+    if tr_split and S == 32:
+        # inter residual quadtree, depth 1 (role of the reference's
+        # max_inter_tr_depth RDO): re-code the CU as four half-size TBs
+        # (chroma follows the tree) via the implicit-split path, then a
+        # per-CU RD select — split_transform_flag is coded by the entropy
+        # layer from the tr_depth map.
+        lamf0 = lam_full_t[qp]
+
+        def rd_of(lv, rc, orig, extra_bits):
+            b = jnp.minimum(
+                tables.level_bits_est(lv, xp=jnp).reshape(nb, -1).sum(-1),
+                16383)
+            d = jnp.sum((orig - rc) * (orig - rc), axis=(-1, -2))
+            return d + (((lamf0 >> 4) * (b + extra_bits)) >> 4)
+
+        lev_ys, rec_ys = code(blk_b, pred_yb, qp, log2, max_tb=log2 - 1)
+        lev_us, rec_us = code(blk_ub, pred_ub, qp_c, log2 - 1,
+                              max_tb=log2 - 2)
+        lev_vs, rec_vs = code(blk_vb, pred_vb, qp_c, log2 - 1,
+                              max_tb=log2 - 2)
+        cost_w = (rd_of(lev_y, rec_y, blk_b, 2)
+                  + rd_of(lev_u, rec_u, blk_ub, 0)
+                  + rd_of(lev_v, rec_v, blk_vb, 0))
+        cost_s = (rd_of(lev_ys, rec_ys, blk_b, 2)
+                  + rd_of(lev_us, rec_us, blk_ub, 0)
+                  + rd_of(lev_vs, rec_vs, blk_vb, 0))
+        sel_s = cost_s < cost_w
+        trd = sel_s.astype(I32)
+        sb = sel_s[:, None, None]
+        lev_y = jnp.where(sb, lev_ys, lev_y)
+        rec_y = jnp.where(sb, rec_ys, rec_y)
+        lev_u = jnp.where(sb, lev_us, lev_u)
+        rec_u = jnp.where(sb, rec_us, rec_u)
+        lev_v = jnp.where(sb, lev_vs, lev_v)
+        rec_v = jnp.where(sb, rec_vs, rec_v)
 
     # node RD cost for the quadtree split decision
     lamf = lam_full_t[qp]
@@ -416,7 +454,8 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     for k, t in (("lev_u", lev_u), ("lev_v", lev_v),
                  ("rec_u", rec_u), ("rec_v", rec_v)):
         out[k] = t.reshape(nby, nbx, S2, S2)
-    for k, t in (("mvx", mvx), ("mvy", mvy), ("cost", cost)):
+    for k, t in (("mvx", mvx), ("mvy", mvy), ("cost", cost),
+                 ("trd", trd)):
         out[k] = t.reshape(nby, nbx)
     return out
 
@@ -610,7 +649,8 @@ def _sad_grids(cur16, ry, *, S, search):
 
 
 def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
-                  search: int, me_precision: int, sign_hiding: bool):
+                  search: int, me_precision: int, sign_hiding: bool,
+                  tr_split: bool = False, intra_in_p: bool = False):
     """Inter CU quadtree P stage (CTU -> ... -> 16, PU = TU = CU).
 
     TPU-first hierarchical ME: ONE 16-granular SAD grid sweep; parent
@@ -622,8 +662,8 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
     H, W = y_pad.shape
     qp = jnp.asarray(qp, I32)
     qp_c = tables.chroma_qp_from_luma(qp, xp=jnp)
-    lam = jnp.asarray(tables.LAMBDA_ME_FX)[qp]
-    lamf = jnp.asarray(tables.LAMBDA_FX)[qp]
+    lam = jnp.asarray(tables.LAMBDA_ME_FX_P)[qp]
+    lamf = jnp.asarray(tables.LAMBDA_FX_P)[qp]
     cur = y_pad.astype(I32)
     sizes = [16, 32] + ([64] if ctu == 64 else [])
 
@@ -659,7 +699,8 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
         enc[S] = _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx,
                                S=S, qp=qp, qp_c=qp_c, lam=lam, search=search,
                                me_precision=me_precision,
-                               sign_hiding=sign_hiding)
+                               sign_hiding=sign_hiding,
+                               tr_split=tr_split)
         enc[S]["icost"] = icost
 
     def sum4(a):
@@ -708,6 +749,11 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
 
     mv_u = sel_u({S: mv_units(e, S) for S, e in enc.items()})
     cbf_u = sel_u({S: cbf_units(e, S) for S, e in enc.items()})
+    # explicit inter TU split map: only 32-CUs carry a depth-1 residual
+    # quadtree (trd from _level_encode's per-CU RD select)
+    d32 = 0 if ctu == 32 else 1
+    trd_u = (upu(enc[32]["trd"], 32) * (depth_u == d32)).astype(I32) \
+        if tr_split else jnp.zeros_like(depth_u)
 
     def to_plane(blocks):
         nby, nbx, nb, _ = blocks.shape
@@ -727,6 +773,144 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
     rec = (sel_plane("rec_y", 4), sel_plane("rec_u", 2),
            sel_plane("rec_v", 2))
 
+    pred_intra_u = jnp.zeros_like(depth_u)
+    if intra_in_p and ctu == 32:
+        # ---- per-CU intra fallback (role of hmr_motion_inter.c:4005) ----
+        # Candidates: whole CTUs whose best intra-32 encode (11-mode fast
+        # battery, refs from the PRE-DEBLOCK inter reconstruction with the
+        # decoder's exact z-scan availability clips) beats the tree's
+        # chosen inter cost. Acceptance runs a 4-color cascade so that no
+        # accepted CU's reference ring touches another accepted CU — every
+        # neighbor an accepted intra CU predicts from therefore keeps its
+        # inter reconstruction, and the batched (order-free) encode is
+        # bit-exact with the decoder's sequential one.
+        from ..ops import intra as intra_ops
+        nby, nbx = H // 32, W // 32
+        recy, recu, recv = rec
+        MODES = (0, 1, 2, 6, 10, 14, 18, 22, 26, 30, 34)
+        ar64 = jnp.arange(64)
+        rr = jnp.arange(nby)
+        cc = jnp.arange(nbx)
+        topv = recy[jnp.maximum(rr * 32 - 1, 0)[:, None, None],
+                    jnp.clip(cc[None, :, None] * 32 + ar64[None, None],
+                             0, W - 1)]
+        leftv = recy[jnp.clip(rr[:, None, None] * 32
+                              + jnp.minimum(ar64, 31)[None, None], 0, H - 1),
+                     jnp.maximum(cc[None, :, None] * 32 - 1, 0)]
+        cornr = recy[jnp.maximum(rr * 32 - 1, 0)[:, None],
+                     jnp.maximum(cc[None] * 32 - 1, 0)]
+        hl = jnp.broadcast_to(cc[None] > 0, (nby, nbx))
+        ht = jnp.broadcast_to(rr[:, None] > 0, (nby, nbx))
+        blocks = cur.reshape(nby, 32, nbx, 32).transpose(0, 2, 1, 3)
+
+        def one(o, t, l, co, h_l, h_t):
+            refs = intra_ops.prepare_refs(t, l, co, h_l, h_t, size=32,
+                                          c_idx=0, strong_smoothing=True)
+            preds = intra_ops.predict_all_modes(*refs, size=32, c_idx=0)
+            preds = preds[jnp.asarray(MODES)]
+            resid = o[None] - preds
+            coeff = tx_ops.forward_transform(resid)
+            lev = quant_ops.quantize(coeff, qp, 5, is_intra=True)
+            if sign_hiding:
+                lev = quant_ops.sign_bit_hiding(lev, coeff, qp, 5)
+            rr_ = tx_ops.inverse_transform(quant_ops.dequantize(lev, qp, 5))
+            nz_ = jnp.any(lev != 0, axis=(-1, -2))
+            rr_ = jnp.where(nz_[:, None, None], rr_, 0)
+            rec_ = jnp.clip(preds + rr_, 0, 255)
+            ssd = jnp.sum((o[None] - rec_) * (o[None] - rec_), axis=(-1, -2))
+            bits = jnp.minimum(tables.level_bits_est(lev, xp=jnp), 16383)
+            cost = ssd + (((lamf >> 4) * (bits + 8)) >> 4)
+            k = jnp.argmin(cost)
+            return (jnp.asarray(MODES, I32)[k], cost[k], lev[k], rec_[k])
+
+        im, icst, ilev, irec = jax.lax.map(
+            lambda a: jax.vmap(one)(*a),
+            (blocks, topv, leftv, cornr, hl, ht))
+
+        cand = icst < c32eff
+        # 4-color cascade: color k accepts only if no earlier-color accept
+        # touches its ring (left/top/diagonals); same-color CUs never share
+        # a ring, so acceptance order inside a color is irrelevant.
+        col = (rr[:, None] % 2) * 2 + (cc[None] % 2)
+        acc = jnp.zeros((nby, nbx), bool)
+
+        def ring(m):
+            # symmetric 8-neighborhood: an accept must neither read another
+            # accept's region nor sit inside an earlier accept's ref ring
+            p = jnp.pad(m, 1)
+            return (p[:-2, :-2] | p[:-2, 1:-1] | p[:-2, 2:]
+                    | p[1:-1, :-2] | p[1:-1, 2:]
+                    | p[2:, :-2] | p[2:, 1:-1] | p[2:, 2:])
+        for k in range(4):
+            acc = acc | (cand & (col == k) & ~ring(acc))
+
+        # chroma DM encode for accepted CUs (one mode, 16x16)
+        ar32 = jnp.arange(32)
+        for ci, (rc_c, plane_c) in enumerate(
+                ((recu, u_pad), (recv, v_pad)), start=1):
+            pass
+        def chroma_one(o, t, l, co, h_l, h_t, m):
+            lv, rc2 = None, None
+            from .intra_jax import _encode_block_one_mode
+            return _encode_block_one_mode(o, t, l, co, h_l, h_t, m, size=16,
+                                          c_idx=1, qp=qp_c, lam_fx=lamf,
+                                          strong_smoothing=False,
+                                          sign_hiding=sign_hiding)
+
+        outs_c = []
+        for rc_c, plane_c in ((recu, u_pad), (recv, v_pad)):
+            W2, H2 = W // 2, H // 2
+            topc = rc_c[jnp.maximum(rr * 16 - 1, 0)[:, None, None],
+                        jnp.clip(cc[None, :, None] * 16 + ar32[None, None],
+                                 0, W2 - 1)]
+            leftc = rc_c[jnp.clip(rr[:, None, None] * 16
+                                  + jnp.minimum(ar32, 15)[None, None], 0,
+                                  H2 - 1),
+                         jnp.maximum(cc[None, :, None] * 16 - 1, 0)]
+            corc = rc_c[jnp.maximum(rr * 16 - 1, 0)[:, None],
+                        jnp.maximum(cc[None] * 16 - 1, 0)]
+            blkc = (plane_c.astype(I32).reshape(nby, 16, nbx, 16)
+                    .transpose(0, 2, 1, 3))
+            lvc, rcc = jax.lax.map(
+                lambda a: jax.vmap(chroma_one)(*a),
+                (blkc, topc, leftc, corc, hl, ht, im))
+            outs_c.append((lvc, rcc))
+
+        # ---- substitution of accepted CTUs ----
+        def sub_plane(plane, blocks_new, S):
+            bn = blocks_new.transpose(0, 2, 1, 3).reshape(H * S // 32,
+                                                          W * S // 32)
+            m = jnp.repeat(jnp.repeat(acc, S, 0), S, 1)
+            return jnp.where(m, bn, plane)
+
+        lev_yp = sub_plane(lev_yp, ilev, 32)
+        recy = sub_plane(recy, irec, 32)
+        lev_up = sub_plane(lev_up, outs_c[0][0], 16)
+        recu = sub_plane(recu, outs_c[0][1], 16)
+        lev_vp = sub_plane(lev_vp, outs_c[1][0], 16)
+        recv = sub_plane(recv, outs_c[1][1], 16)
+        rec = (recy, recu, recv)
+        accu = upu(acc, 32)
+        pred_intra_u = accu.astype(I32)
+        depth_u = jnp.where(accu, 0, depth_u)
+        trd_u = jnp.where(accu, 0, trd_u)
+        # intra units carry the luma mode in the mv slot of the wire; the
+        # motion field marks them intra (unavailable) for the host walk
+        imode_u = upu(im, 32)
+        mv_u = jnp.where(accu[..., None],
+                         jnp.stack([imode_u, jnp.zeros_like(imode_u)], -1),
+                         mv_u)
+        cbf_u = jnp.where(accu, upu(jnp.any(ilev != 0, axis=(-1, -2)), 32),
+                          cbf_u)
+
+    if tr_split:
+        # TB-granular luma cbf for deblocking: split CUs deblock their
+        # interior TU edges from per-16 coefficient presence
+        h16, w16 = H // 16, W // 16
+        nz16 = jnp.any(lev_yp.reshape(h16, 16, w16, 16) != 0, axis=(1, 3))
+        nz16_u = upu(nz16, 16)
+        cbf_u = jnp.where(trd_u.astype(bool), nz16_u, cbf_u)
+
     # per-unit any-nonzero (Y | Cb | Cr) for the host's skip derivation
     uh, uw = H // 4, W // 4
     nz_y = jnp.any(lev_yp.reshape(uh, 4, uw, 4) != 0, axis=(1, 3))
@@ -740,10 +924,12 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
     lev_packed = jnp.concatenate([ly16.reshape(-1), lu16.reshape(-1),
                                   lv16.reshape(-1)])
     meta_packed = jnp.concatenate([depth_u.reshape(-1), mv_u.reshape(-1),
-                                   nz.reshape(-1),
+                                   nz.reshape(-1), trd_u.reshape(-1),
+                                   pred_intra_u.reshape(-1),
                                    enc[ctu]["icost"].reshape(-1)])
     return dict(
-        depth_u=depth_u, mv_u=mv_u, cbf_u=cbf_u,
+        depth_u=depth_u, mv_u=mv_u, cbf_u=cbf_u, trd_u=trd_u,
+        pred_intra_u=pred_intra_u,
         sad=enc[ctu]["icost"],
         lev_y=ly16, lev_u=lu16, lev_v=lv16,
         lev_packed=lev_packed,
@@ -760,10 +946,12 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
 
 @functools.partial(jax.jit,
                    static_argnames=("ctu", "search", "me_precision",
-                                    "deblock", "sign_hiding"))
+                                    "deblock", "sign_hiding", "tr_split",
+                                    "intra_in_p"))
 def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
                         ctu: int, qp, search: int, me_precision: int,
-                        deblock: bool = False, sign_hiding: bool = False):
+                        deblock: bool = False, sign_hiding: bool = False,
+                        tr_split: bool = False, intra_in_p: bool = False):
     """Quadtree P frame, all device: hierarchical ME + per-level coding +
     split select (+ on-device deblock of the selected reconstruction)."""
     H, W = y_pad.shape
@@ -772,13 +960,15 @@ def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
     rv = jnp.pad(ref_v.astype(jnp.int16), PAD // 2, mode="edge")
     result = _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, ctu=ctu, qp=qp,
                            search=search, me_precision=me_precision,
-                           sign_hiding=sign_hiding)
+                           sign_hiding=sign_hiding, tr_split=tr_split,
+                           intra_in_p=intra_in_p)
     if deblock:
         from ..ops import deblock as dbk
         ctu_log2 = ctu.bit_length() - 1
         bs_v, bs_h = dbk.inter_bs_from_units(
             result["depth_u"], result["mv_u"], result["cbf_u"],
-            ctu_log2, xp=jnp)
+            ctu_log2, xp=jnp, trd_u=result["trd_u"],
+            intra_u=result["pred_intra_u"])
         qp_map = jnp.full((H // 4, W // 4), qp, jnp.int32)
         fy, fu, fv = dbk.deblock_frame(
             result["recon_y"].astype(I32), result["recon_u"].astype(I32),

@@ -19,6 +19,7 @@ from .config import BitrateMode, EncoderConfig
 
 class RateControl:
     def __init__(self, cfg: EncoderConfig):
+        self.gop_size = cfg.gop_size
         self.cfg = cfg
         self.mode = cfg.bitrate_mode
         self.fps = cfg.frame_rate
@@ -33,20 +34,24 @@ class RateControl:
         self._is_idr_last = False
 
     # ---------------------------------------------------------- per frame
-    def frame_target(self, is_idr: bool) -> float:
-        """Target bits for the next frame (hmr_rc_init_pic :89-140)."""
+    def frame_target(self, is_idr: bool, is_b: bool = False) -> float:
+        """Target bits for the next frame (hmr_rc_init_pic :89-140; the B
+        rule — non-reference B frames get ~avg/2 and anchors 1.5x avg so a
+        (P, B) pair still sums to 2x avg — is hmr_rate_control.c:89-140)."""
         if is_idr:
             t = 2.25 * self.avg * math.sqrt(self.intra_period)
             # never ask for more than the buffer can deliver
             t = min(t, self.fullness + self.avg * 0.9)
             return max(t, self.avg)
+        if is_b:
+            return max(self.avg * 0.5, self.avg * 0.1)
         # P frames repay the I-frame excess over the GOP
         repay = self._i_excess / max(self.intra_period - 1, 1)
-        t = self.avg - repay
+        t = (self.avg * 1.5 if self.gop_size >= 2 else self.avg) - repay
         return max(t, self.avg * 0.1)
 
-    def frame_qp(self, is_idr: bool) -> int:
-        target = self.frame_target(is_idr)
+    def frame_qp(self, is_idr: bool, is_b: bool = False) -> int:
+        target = self.frame_target(is_idr, is_b)
         self._target_last = target
         self._is_idr_last = is_idr
         qp = self.qp
@@ -68,17 +73,21 @@ class RateControl:
                 qp -= 1
         if is_idr:
             qp -= 2      # I frames coded finer (reference I/P QP compensation)
+        if is_b:
+            qp += 2      # non-reference B frames coded coarser
         return int(round(max(0, min(51, qp))))
 
-    def end_frame(self, bits_used: int, is_idr: bool) -> None:
+    def end_frame(self, bits_used: int, is_idr: bool,
+                  is_b: bool = False) -> None:
         """VBV update + QP adaptation (hmr_rc_end_pic :152-263)."""
         target = self._target_last
         # adapt the base QP from the log bit-rate error (3 QP ~= 2x bits)
         err = math.log2(max(bits_used, 1) / max(target, 1))
         gain = 1.5 if self.mode == BitrateMode.CBR else 1.0
         step = max(-3.0, min(3.0, gain * err))
-        # I frames are intentionally over target; adapt on P frames only.
-        if not is_idr:
+        # I frames are intentionally over target; adapt on P frames only
+        # (B mismatches must not yank the base QP).
+        if not is_idr and not is_b:
             self.qp = max(0.0, min(51.0, self.qp + step))
         else:
             self._i_excess = max(0.0, bits_used - self.avg)

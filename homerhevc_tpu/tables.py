@@ -225,6 +225,17 @@ LAMBDA_ME_FX = np.array(
     [int(round((0.57 * 2.0 ** ((q - 12) / 3.0)) ** 0.5 * 256))
      for q in range(52)], dtype=np.int32)
 
+# Inter (P-slice) lambdas: HM scales the non-I-slice lambda up (weighting
+# W_k for referenced pictures); measured on 720p clips, x2 moves the P RD
+# point from (7.7 KB, 31.24 dB) to (5.0 KB, 31.03 dB) per frame — a large
+# net win toward the reference's operating point. ME lambda scales by
+# sqrt(2) (SAD domain).
+P_LAMBDA_SCALE = 2
+LAMBDA_FX_P = (LAMBDA_FX * P_LAMBDA_SCALE).astype(np.int32)
+LAMBDA_ME_FX_P = np.array(
+    [int(round((P_LAMBDA_SCALE * 0.57 * 2.0 ** ((q - 12) / 3.0)) ** 0.5
+               * 256)) for q in range(52)], dtype=np.int32)
+
 
 # ---------------------------------------------------------------------------
 # Deblocking filter thresholds (spec Table 8-12)
