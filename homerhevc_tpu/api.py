@@ -16,6 +16,8 @@ mechanism as the reference's pict conformance handling).
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from .config import (BitrateMode, EncoderConfig, MEPrecision,
@@ -137,6 +139,16 @@ class HomerEncoder:
         if c.bitrate_mode != BitrateMode.FIXED_QP:
             from .rate_control import RateControl
             self._rc = RateControl(c)
+        # per-CTU-row QP (cu_qp_delta): active with rate control + WPP on
+        # the quadtree path; row plans are fed forward from the previous
+        # frame's per-row coefficient load
+        self._row_qp_on = bool(self._rc is not None and c.wpp
+                               and self.inter_split
+                               and (1 << self.ctu_log2) == 32)
+        self._prev_row_load = None
+        if self._row_qp_on:
+            self.params = dataclasses.replace(
+                self.params, cu_qp_delta_enabled=True, cu_qp_delta_depth=0)
 
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -445,11 +457,14 @@ class HomerEncoder:
                     or (c.intra_period > 0
                         and (poc - self.last_idr) % c.intra_period == 0))
 
-        while i < n or pending is not None:
-            new_pending = None
-            if i < n and not is_idr_at(i):
-                # dispatch the next P chunk (device computes while the host
-                # CABACs the previous one below)
+        # frame_pipeline_depth D keeps up to D chunks in flight: the
+        # device runs ahead of the host CABAC by D dispatches (deeper
+        # pipelining hides the wire fetch under later chunks' compute, at
+        # the cost of D chunks of RC / scene-decision staleness).
+        depth = max(1, int(getattr(c, "frame_pipeline_depth", 1)))
+        pend_q = []                     # FIFO of dispatched chunks
+        while i < n or pend_q:
+            while i < n and not is_idr_at(i) and len(pend_q) < depth:
                 if c.intra_period > 0:
                     poc = poc0 + i
                     run_end = min(n, i + c.intra_period
@@ -462,19 +477,18 @@ class HomerEncoder:
                 for _ in idxs:
                     q = self._rc.frame_qp(False) if self._rc else c.qp
                     qps.append(int(np.clip(q, 0, 51)))
-                wires, denses = self._dispatch_chunk(
+                wires, denses, row_plans = self._dispatch_chunk(
                     [frames[k] for k in idxs], qps)
-                new_pending = (idxs, qps, wires, denses)
+                pend_q.append((idxs, qps, wires, denses, row_plans))
                 i = j
-            if pending is not None:
-                res = self._finish_chunk(pending, aus, frames)
+            if pend_q:
+                res = self._finish_chunk(pend_q.pop(0), aus, frames)
                 if res == "scene":
                     # the fallback re-encode changed the reference chain:
                     # every dispatched-but-unprocessed chunk is invalid.
-                    new_pending = None
+                    pend_q.clear()
                     i = next((k for k in range(n) if aus[k] is None), n)
-            pending = new_pending
-            if pending is None and i < n and is_idr_at(i):
+            if not pend_q and i < n and is_idr_at(i):
                 aus[i] = self.encode_frame(*frames[i])
                 i += 1
         return aus
@@ -506,6 +520,14 @@ class HomerEncoder:
                 usd = jnp.asarray(us)
                 vsd = jnp.asarray(vs)
         ctu = 1 << self.ctu_log2
+        qp_rows = None
+        self._last_row_plans = None
+        if self._row_qp_on:
+            nrows = self.ph // ctu
+            qp_rows = np.stack([
+                self._rc.plan_rows(q, nrows, self._prev_row_load)
+                for q in qps])
+            self._last_row_plans = qp_rows
         with self.prof.probe("chunk.dispatch"):
             wires, denses, fy, fu, fv = p_chunk.p_chunk_device(
                 ysd, usd, vsd, *self._ref, jnp.asarray(qps, jnp.int32),
@@ -515,9 +537,11 @@ class HomerEncoder:
                 sao=c.sample_adaptive_offset,
                 cap=self._chunk_cap, tree=self.inter_split,
                 tr_split=self.inter_split,
-                intra_in_p=(self.inter_split and ctu == 32))
+                intra_in_p=(self.inter_split and ctu == 32),
+                qp_rows=(None if qp_rows is None
+                         else jnp.asarray(qp_rows, jnp.int32)))
         self._ref = (fy, fu, fv)
-        return wires, denses
+        return wires, denses, self._last_row_plans
 
     @property
     def _chunk_cap(self):
@@ -536,7 +560,7 @@ class HomerEncoder:
 
         c = self.cfg
         ctu = 1 << self.ctu_log2
-        idxs, qps, wires, denses = pending
+        idxs, qps, wires, denses, row_plans = pending
         with self.prof.probe("chunk.fetch"):
             wires_h = np.asarray(wires)
         cap = self._chunk_cap
@@ -589,6 +613,14 @@ class HomerEncoder:
                                                         tr_depth=trd_u,
                                                         pred_intra=intra_u,
                                                         intra_mode=imode_u)
+                if row_plans is not None:
+                    nbx = self.pw // ctu
+                    maps["qp_ctu"] = np.repeat(
+                        row_plans[row_i][:, None], nbx, 1).astype(np.int8)
+                    # feedforward load signal for the next frame's plan
+                    rows = self.ph // ctu
+                    self._prev_row_load = (
+                        (lev_y != 0).reshape(rows, ctu, -1).sum((1, 2)))
             sao_info = None
             if c.sample_adaptive_offset:
                 pp = w["sao_pp"]

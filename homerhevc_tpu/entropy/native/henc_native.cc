@@ -200,6 +200,7 @@ struct SliceParams {
   int32_t sign_hiding, slice_type, max_merge_cand;
   int32_t wpp;  // entropy_coding_sync: per-CTU-row substreams + ctx sync
   int32_t sao_luma, sao_chroma;
+  int32_t cu_qp_delta_enabled, slice_qp;
 };
 
 // Packed per-CTU SAO record (21 int8s; see native_backend.pack_sao):
@@ -212,6 +213,7 @@ constexpr int SAO_REC = 21;
 struct Maps {
   const int8_t *depth, *luma_mode, *chroma_mode, *tr_depth, *merge_idx,
       *mvp_idx;
+  const int8_t* qp_ctu;  // (ny, nx) per-CTU coded QP, or nullptr
   const uint8_t *part_nxn, *pred_intra, *skip, *merge_flag;
   const int32_t* mvd;  // (uh, uw, 2), list 0
   const int32_t *cy, *ccb, *ccr;
@@ -236,6 +238,9 @@ struct SliceEnc {
   Maps m;
   Bac* bac;
   int uw, uh, W, W2;
+  // cu_qp_delta state (spec 8.6.1; QG == CTB so pred == qPY_PREV)
+  int qp_prev = 26, qg_pred = 26, qg_target = 26;
+  bool qg_coded = true;
   // walk-state grids
   std::vector<int8_t> g_depth, g_mode;
   std::vector<uint8_t> g_avail, g_intra, g_skip;
@@ -290,6 +295,15 @@ struct SliceEnc {
   }
 
   void encode_ctu(int x0, int y0, bool is_last) {
+    if (p.cu_qp_delta_enabled) {
+      if (p.wpp && x0 == 0) qp_prev = p.slice_qp;
+      qg_pred = qp_prev;
+      qg_coded = false;
+      int nx = (p.pic_width + (1 << p.ctu_log2) - 1) >> p.ctu_log2;
+      qg_target = m.qp_ctu
+                      ? m.qp_ctu[(y0 >> p.ctu_log2) * nx + (x0 >> p.ctu_log2)]
+                      : p.slice_qp;
+    }
     if (m.sao && (p.sao_luma || p.sao_chroma))
       sao_syntax(x0 >> p.ctu_log2, y0 >> p.ctu_log2);
     coding_quadtree(x0, y0, p.ctu_log2, 0);
@@ -297,7 +311,26 @@ struct SliceEnc {
     for (int y = y0; y < y0 + size && y < p.pic_height; y += 4)
       for (int x = x0; x < x0 + size && x < p.pic_width; x += 4)
         g_avail[U(x, y)] = 1;
+    if (p.cu_qp_delta_enabled) qp_prev = qg_coded ? qg_target : qg_pred;
     bac->terminate(is_last ? 1 : 0);  // end_of_slice_segment_flag
+  }
+
+  // cu_qp_delta_abs (9.3.3.10: TR prefix cMax 5 + EG0 bypass) + sign
+  void cu_qp_delta_bins(int delta) {
+    int a = delta < 0 ? -delta : delta;
+    int pre = a < 5 ? a : 5;
+    bac->bin(OFF_DQP, pre > 0);
+    for (int i = 1; i < pre; i++) bac->bin(OFF_DQP + 1, 1);
+    if (pre < 5) {
+      if (pre > 0) bac->bin(OFF_DQP + 1, 0);
+    } else {
+      int v = a - 5, k = 0;
+      while (v >= (1 << (k + 1)) - 1) k++;
+      for (int i = 0; i < k; i++) bac->bypass(1);
+      bac->bypass(0);
+      if (k) bac->bypass_bins(v - ((1 << k) - 1), k);
+    }
+    if (a) bac->bypass(delta < 0);
   }
 
   void coding_quadtree(int x0, int y0, int log2_size, int depth) {
@@ -609,6 +642,10 @@ struct SliceEnc {
     if (is_intra || trafo_depth != 0 || cbf_cb || cbf_cr)
       bac->bin(OFF_CBF_LUMA + (trafo_depth == 0 ? 1 : 0), cbf_luma);
 
+    if (p.cu_qp_delta_enabled && !qg_coded && (cbf_luma || cbf_cb || cbf_cr)) {
+      cu_qp_delta_bins(qg_target - qg_pred);
+      qg_coded = true;
+    }
     if (cbf_luma) residual(x0, y0, log2_size, 0);
     if (log2_size > 2) {
       if (cbf_cb) residual(x0, y0, log2_size - 1, 1);
@@ -869,17 +906,20 @@ int henc_encode_slice(const SliceParams* sp, const int8_t* depth,
                       const int8_t* mvp_idx1,
                       uint8_t* ctx_state,
                       uint8_t* ctx_mps, uint8_t* out, int out_cap,
-                      int32_t* substream_sizes) {
+                      int32_t* substream_sizes,
+                      const int8_t* qp_ctu) {
   BitWriter bw;
   Bac bac;
   bac.bw = &bw;
   bac.state = ctx_state;
   bac.mps = ctx_mps;
   Maps maps{depth,      luma_mode, chroma_mode, tr_depth, merge_idx, mvp_idx,
+            qp_ctu,
             part_nxn,   pred_intra, skip,       merge_flag,
             mvd,        coeff_y,   coeff_cb,    coeff_cr,  sao,
             inter_dir,  mvd1,      mvp_idx1};
   SliceEnc enc(*sp, maps, &bac);
+  enc.qp_prev = sp->slice_qp;
   int ctu = 1 << sp->ctu_log2;
   int nx = (sp->pic_width + ctu - 1) / ctu;
   int ny = (sp->pic_height + ctu - 1) / ctu;

@@ -27,7 +27,8 @@ class _SliceParams(ctypes.Structure):
     _fields_ = [(n, ctypes.c_int32) for n in (
         "pic_width", "pic_height", "ctu_log2", "min_cu_log2",
         "max_tr_depth_intra", "max_tr_depth_inter", "sign_hiding",
-        "slice_type", "max_merge_cand", "wpp", "sao_luma", "sao_chroma")]
+        "slice_type", "max_merge_cand", "wpp", "sao_luma", "sao_chroma",
+        "cu_qp_delta_enabled", "slice_qp")]
 
 
 def pack_sao(sao_info: dict, nby: int, nbx: int) -> np.ndarray:
@@ -136,10 +137,17 @@ def frame_maps_from_plans(plans, pic_w: int, pic_h: int, ctu_size: int):
                 coeff_y=np.zeros((pic_h, pic_w), np.int32),
                 coeff_cb=np.zeros((pic_h // 2, pic_w // 2), np.int32),
                 coeff_cr=np.zeros((pic_h // 2, pic_w // 2), np.int32))
+    ny = -(-pic_h // ctu_size)
+    nx = -(-pic_w // ctu_size)
+    qp_ctu = np.zeros((ny, nx), np.int8)
+    any_qp = False
     for p in plans:
         ux, uy = p.x0 // 4, p.y0 // 4
         un = ctu_size // 4
         sl = (slice(uy, uy + un), slice(ux, ux + un))
+        if getattr(p, "qp_ctu", None) is not None:
+            qp_ctu[p.y0 // ctu_size, p.x0 // ctu_size] = p.qp_ctu
+            any_qp = True
         maps["depth"][sl] = p.depth_map
         maps["luma_mode"][sl] = p.luma_mode
         maps["chroma_mode"][sl] = p.chroma_mode
@@ -163,6 +171,8 @@ def frame_maps_from_plans(plans, pic_w: int, pic_h: int, ctu_size: int):
                          p.x0 // 2:(p.x0 + ctu_size) // 2] = p.coeff_cb
         maps["coeff_cr"][p.y0 // 2:(p.y0 + ctu_size) // 2,
                          p.x0 // 2:(p.x0 + ctu_size) // 2] = p.coeff_cr
+    if any_qp:
+        maps["qp_ctu"] = qp_ctu
     return maps
 
 
@@ -283,12 +293,14 @@ def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
     mps = _u8(ctxs.mps)
 
     sao_on = sao_info is not None
+    qp_ctu = maps.get("qp_ctu")
     sp = _SliceParams(pic_w, pic_h, params.ctu_log2, params.min_cu_log2,
                       params.max_tr_depth_intra, params.max_tr_depth_inter,
                       int(params.sign_hiding), slice_type, max_merge_cand,
                       int(wpp),
                       int(sao_on and sao_info.get("sao_luma", True)),
-                      int(sao_on and sao_info.get("sao_chroma", True)))
+                      int(sao_on and sao_info.get("sao_chroma", True)),
+                      int(params.cu_qp_delta_enabled), int(slice_qp))
     cap = pic_w * pic_h * 4 + 4096
     out = np.zeros(cap, np.uint8)
     ctu = 1 << params.ctu_log2
@@ -314,8 +326,12 @@ def encode_slice_from_maps(params, maps: dict, *, slice_qp: int,
     ptrs = [a.ctypes.data_as(ctypes.c_void_p) for a in arrs]
     if not sao_on:
         ptrs[14] = ctypes.c_void_p(None)     # sao pointer slot
+    qparr = (_c8(qp_ctu) if qp_ctu is not None else None)
+    qptr = (qparr.ctypes.data_as(ctypes.c_void_p) if qparr is not None
+            else ctypes.c_void_p(None))
     args = ([ctypes.byref(sp)] + ptrs
-            + [ctypes.c_int(cap), sizes.ctypes.data_as(ctypes.c_void_p)])
+            + [ctypes.c_int(cap), sizes.ctypes.data_as(ctypes.c_void_p),
+               qptr])
     n = lib.henc_encode_slice(*args)
     assert n >= 0, "native slice encoder overflow"
     data = bytes(out[:n].tobytes())

@@ -57,6 +57,7 @@ class CtuPlan:
     inter_dir: np.ndarray = None   # int8: 0=PRED_L0, 1=PRED_L1, 2=PRED_BI
     mvd_l1: np.ndarray = None      # (units, units, 2) int32
     mvp_idx_l1: np.ndarray = None  # int8
+    qp_ctu: int = None             # this CTU's coded QP (cu_qp_delta)
 
 
 class SliceSyntaxEncoder:
@@ -68,7 +69,9 @@ class SliceSyntaxEncoder:
                  min_cu_log2: int, max_tr_depth_intra: int,
                  sign_hiding: bool, slice_type: int = SLICE_I,
                  max_tr_depth_inter: int = 0, max_merge_cand: int = 5,
-                 sao_info: dict | None = None):
+                 sao_info: dict | None = None,
+                 cu_qp_delta_enabled: bool = False, slice_qp: int = 26,
+                 wpp: bool = False):
         """sao_info (optional): dict with per-CTU-grid arrays
         'luma'/'cb'/'cr' (each a params dict of type/eo_class/band_pos/
         offsets), bool arrays 'merge_left'/'merge_up', and flags
@@ -93,11 +96,30 @@ class SliceSyntaxEncoder:
         self.frame_skip = np.zeros((uh, uw), dtype=bool)
         self.max_merge_cand = max_merge_cand
         self.sao_info = sao_info
+        # cu_qp_delta (spec 7.3.8.10 / 8.6.1). Quantisation groups == CTBs
+        # (diff_cu_qp_delta_depth 0), so both spatial predictors fall back
+        # to qPY_PREV: pred == the previous QG's final QP in decode order,
+        # reset to SliceQpY at slice start (and at each CTB row start under
+        # entropy_coding_sync).
+        self.cu_qp_delta_enabled = cu_qp_delta_enabled
+        self.slice_qp = slice_qp
+        self.wpp = wpp
+        self._qp_prev = slice_qp
+        self._qg_coded = True          # nothing pending before first CTU
+        self._qg_pred = slice_qp
+        self._qg_target = slice_qp
 
     # ------------------------------------------------------------------ CTU
     def encode_ctu(self, plan: CtuPlan, *, is_last: bool) -> None:
         self._plan = plan
         size = 1 << self.ctu_log2
+        if self.cu_qp_delta_enabled:
+            if self.wpp and plan.x0 == 0:
+                self._qp_prev = self.slice_qp
+            self._qg_pred = self._qp_prev
+            self._qg_coded = False
+            self._qg_target = (int(plan.qp_ctu) if getattr(
+                plan, "qp_ctu", None) is not None else self.slice_qp)
         if self.sao_info is not None:
             self._sao_syntax(plan.x0 >> self.ctu_log2,
                              plan.y0 >> self.ctu_log2)
@@ -106,6 +128,9 @@ class SliceSyntaxEncoder:
         ux0, uy0 = plan.x0 // 4, plan.y0 // 4
         un = size // 4
         self.frame_avail[uy0:uy0 + un, ux0:ux0 + un] = True
+        if self.cu_qp_delta_enabled:
+            self._qp_prev = (self._qg_target if self._qg_coded
+                             else self._qg_pred)
         self.enc.encode_terminate(1 if is_last else 0)
 
     # ----------------------------------------------------------- sao 7.3.8.3
@@ -472,6 +497,10 @@ class SliceSyntaxEncoder:
         else:
             assert cbf_luma, "rqt_root_cbf=1 with all-zero residual"
         # transform_unit (7.3.8.10).
+        if (self.cu_qp_delta_enabled and not self._qg_coded
+                and (cbf_luma or cbf_cb or cbf_cr)):
+            self._cu_qp_delta(self._qg_target - self._qg_pred)
+            self._qg_coded = True
         if cbf_luma:
             self._residual_coding(x0, y0, log2_size, 0)
         if log2_size > 2:
@@ -485,6 +514,31 @@ class SliceSyntaxEncoder:
                 self._residual_coding(xbase, ybase, 2, 1)
             if cbf_cr:
                 self._residual_coding(xbase, ybase, 2, 2)
+
+    def _cu_qp_delta(self, delta: int) -> None:
+        """cu_qp_delta_abs (9.3.3.10: TR prefix cMax 5, ctx bins, EG0
+        bypass suffix) + cu_qp_delta_sign_flag."""
+        a = abs(int(delta))
+        pre = min(a, 5)
+        self.enc.encode_bin(self.ctxs, OFF["DQP"], int(pre > 0))
+        for i in range(1, pre):
+            self.enc.encode_bin(self.ctxs, OFF["DQP"] + 1, 1)
+        if pre < 5:
+            if pre > 0:
+                self.enc.encode_bin(self.ctxs, OFF["DQP"] + 1, 0)
+        else:
+            v = a - 5
+            k = 0
+            while v >= (1 << (k + 1)) - 1:  # EG0 prefix... unary of length
+                k += 1
+            # exp-golomb order 0: unary(k) + k bits of (v - (2^k - 1))
+            for _ in range(k):
+                self.enc.encode_bypass(1)
+            self.enc.encode_bypass(0)
+            if k:
+                self.enc.encode_bypass_bins(v - ((1 << k) - 1), k)
+        if a:
+            self.enc.encode_bypass(int(delta < 0))
 
     # ---------------------------------------------- residual coding 7.3.8.11
     def _residual_coding(self, x0, y0, log2_size, c_idx) -> None:

@@ -14,8 +14,19 @@ import jax.numpy as jnp
 from .. import tables
 
 
+def _bc(qp, x):
+    """Broadcast a scalar or per-block qp against x (leading block axis)."""
+    q = jnp.asarray(qp)
+    if q.ndim == 0:
+        return q
+    return q.reshape(q.shape + (1,) * (x.ndim - q.ndim))
+
+
 def quantize(coeff: jax.Array, qp, log2_size: int, *, is_intra: bool,
              bit_depth: int = 8) -> jax.Array:
+    """qp may be a python int, a traced scalar, or a per-block array whose
+    shape is a prefix of coeff's (per-CTU-row rate control)."""
+    qp = _bc(qp, coeff)
     tshift = tables.MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     qbits = tables.QUANT_SHIFT + qp // 6 + tshift
     scale = jnp.asarray(tables.QUANT_SCALES)[qp % 6]
@@ -49,8 +60,9 @@ def sign_bit_hiding(levels: jax.Array, coeffs: jax.Array, qp,
     inv[scan] = np.arange(scan.size)
 
     tshift = t.MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
-    qbits = t.QUANT_SHIFT + qp // 6 + tshift
-    scale = jnp.asarray(t.QUANT_SCALES)[qp % 6]
+    qp_a = jnp.asarray(qp)
+    qbits = t.QUANT_SHIFT + qp_a // 6 + tshift
+    scale = jnp.asarray(t.QUANT_SCALES)[qp_a % 6]
 
     lead = levels.shape[:-2]
     import math
@@ -77,6 +89,12 @@ def sign_bit_hiding(levels: jax.Array, coeffs: jax.Array, qp,
     parity = (jnp.sum(mag, axis=1) & 1).astype(jnp.int32)
     need = has & (last - first > 3) & (parity != sign_flag.astype(jnp.int32))
 
+    if qp_a.ndim:              # per-block qp: lanes are the flattened lead
+        qL = jnp.broadcast_to(
+            qp_a.reshape(qp_a.shape + (1,) * (len(lead) - qp_a.ndim)),
+            lead).reshape(L)
+        qbits = t.QUANT_SHIFT + qL // 6 + tshift          # (L,)
+        scale = jnp.asarray(t.QUANT_SCALES)[qL % 6]
     exact9 = (jnp.abs(cs) * scale) >> (qbits - 9)                # (G, 16, L)
     BIG = jnp.int32(1 << 30)
     cand_errs = []
@@ -117,6 +135,7 @@ def sign_bit_hiding(levels: jax.Array, coeffs: jax.Array, qp,
 
 def dequantize(level: jax.Array, qp, log2_size: int,
                bit_depth: int = 8) -> jax.Array:
+    qp = _bc(qp, level)
     bd_shift = bit_depth + log2_size - 5
     scale = jnp.asarray(tables.INV_QUANT_SCALES)[qp % 6] << (qp // 6)
     c = level.astype(jnp.int64) * (scale * 16)

@@ -64,7 +64,9 @@ def encode_slice_data(params: headers.StreamParams, plans, *, slice_qp: int,
         max_tr_depth_inter=params.max_tr_depth_inter,
         sign_hiding=params.sign_hiding,
         slice_type=slice_type,
-        max_merge_cand=max_merge_cand, sao_info=sao_info)
+        max_merge_cand=max_merge_cand, sao_info=sao_info,
+        cu_qp_delta_enabled=params.cu_qp_delta_enabled, slice_qp=slice_qp,
+        wpp=False)
     for i, plan in enumerate(plans):
         syn.encode_ctu(plan, is_last=(i == len(plans) - 1))
     bw.align_zero()   # after terminate(1) flush the stream is aligned... pad
@@ -96,7 +98,9 @@ def encode_slice_data_wpp(params: headers.StreamParams, plans, *,
         max_tr_depth_intra=params.max_tr_depth_intra,
         max_tr_depth_inter=params.max_tr_depth_inter,
         sign_hiding=params.sign_hiding, slice_type=slice_type,
-        max_merge_cand=max_merge_cand, sao_info=sao_info)
+        max_merge_cand=max_merge_cand, sao_info=sao_info,
+        cu_qp_delta_enabled=params.cu_qp_delta_enabled, slice_qp=slice_qp,
+        wpp=True)
     snapshot = None
     sizes = []
     prev = 0

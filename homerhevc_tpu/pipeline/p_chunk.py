@@ -155,7 +155,9 @@ def _sao_device(cur, rec, ctu: int, qp: int, qp_c: int):
 def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                    search: int, me_precision: int, sign_hiding: bool,
                    deblock: bool, sao: bool, cap: int, tree: bool,
-                   tr_split: bool = False, intra_in_p: bool = False):
+                   tr_split: bool = False, intra_in_p: bool = False,
+                   qp_rows=None):
+    """qp_rows (K, H//ctu) enables per-CTU-row QPs (cu_qp_delta)."""
     """Encode K consecutive P frames in one dispatch.
 
     ys (K, H, W) uint8 etc.; qps (K,) int32. Returns (wires (K, L) int32,
@@ -169,7 +171,7 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
 
     def body(refs, xs):
         ry8, ru8, rv8 = refs
-        y, u, v, qp = xs
+        y, u, v, qp, qrow = xs
         ryp = jnp.pad(ry8.astype(jnp.int16), PAD, mode="edge")
         rup = jnp.pad(ru8.astype(jnp.int16), PAD // 2, mode="edge")
         rvp = jnp.pad(rv8.astype(jnp.int16), PAD // 2, mode="edge")
@@ -177,7 +179,8 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
             res = p_jax._p_stage_tree(
                 y, u, v, ryp, rup, rvp, ctu=ctu, qp=qp, search=search,
                 me_precision=me_precision, sign_hiding=sign_hiding,
-                tr_split=tr_split, intra_in_p=intra_in_p)
+                tr_split=tr_split, intra_in_p=intra_in_p,
+                qp_rows=(qrow if qp_rows is not None else None))
             depth_u = res["depth_u"]
             mv_u = res["mv_u"]
             cbf_u = res["cbf_u"]
@@ -229,7 +232,11 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                 bs_v, bs_h = dbk.inter_bs_from_blocks(mvs, cbf_blk, ctu,
                                                       xp=jnp, qcbf=qcbf)
         if deblock:
-            qp_map = jnp.full((uh, uw), qp, I32)
+            if tree:
+                qp_map = jnp.repeat(jnp.repeat(res["qp_ctu"], ctu // 4, 0),
+                                    ctu // 4, 1)
+            else:
+                qp_map = jnp.full((uh, uw), qp, I32)
             fy, fu, fv = dbk.deblock_frame(rec[0], rec[1], rec[2], bs_v=bs_v,
                                            bs_h=bs_h, qp_map=qp_map, xp=jnp)
         else:
@@ -279,7 +286,9 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
         ])
         return (fy, fu, fv), (wire, dense)
 
+    qrows_in = (qp_rows.astype(I32) if qp_rows is not None
+                else jnp.zeros((K, H // ctu), I32))
     (fy, fu, fv), (wires, denses) = jax.lax.scan(
         body, (ref_y, ref_u, ref_v),
-        (ys, us, vs, qps.astype(I32)))
+        (ys, us, vs, qps.astype(I32), qrows_in))
     return wires, denses, fy, fu, fv

@@ -144,7 +144,8 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
 
 
 def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
-                  lam, search, me_precision, sign_hiding, tr_split=False):
+                  lam, search, me_precision, sign_hiding, tr_split=False,
+                  qp_rows=None):
     """Subpel refinement + MC + residual coding for every S-sized block of
     the frame. Returns per-block arrays plus an integer RD cost (luma SSD +
     lambda*(level-bits-est + mv bits)) used by the quadtree split decision.
@@ -170,6 +171,12 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     bi = jnp.arange(nb, dtype=I32)
     r = bi // nbx
     c = bi % nbx
+    if qp_rows is not None:
+        # per-CTU-row rate control: quant/dequant/SBH and the RD lambdas
+        # run with each block row's QP (the coded cu_qp_delta targets)
+        ctu_rows = H // qp_rows.shape[0]
+        qp = qp_rows[(r * S) // ctu_rows]           # (nb,)
+        qp_c = tables.chroma_qp_from_luma(qp, xp=jnp)
     vy = ivy.reshape(-1).astype(I32)
     vx = ivx.reshape(-1).astype(I32)
 
@@ -348,6 +355,8 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
         ssd_c = jnp.sum((orig - rec) * (orig - rec), axis=(-1, -2))
         ssd_s = jnp.sum((orig - pred) * (orig - pred), axis=(-1, -2))
         bits = jnp.minimum(tables.level_bits_est(lev, xp=jnp), 16383)
+        if getattr(lamf, "ndim", 0):
+            lamf = lamf.reshape(lamf.shape + (1,) * (bits.ndim - lamf.ndim))
         keep = ssd_c + (((lamf >> 4) * bits) >> 4) < ssd_s
         keep_b = keep[..., None, None]
         return (jnp.where(keep_b, lev, 0), jnp.where(keep_b, rec, pred))
@@ -414,6 +423,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
                 tables.level_bits_est(lv, xp=jnp).reshape(nb, -1).sum(-1),
                 16383)
             d = jnp.sum((orig - rc) * (orig - rc), axis=(-1, -2))
+            d = d.reshape(nb, -1).sum(-1) if d.ndim > 1 else d
             return d + (((lamf0 >> 4) * (b + extra_bits)) >> 4)
 
         lev_ys, rec_ys = code(blk_b, pred_yb, qp, log2, max_tb=log2 - 1)
@@ -438,7 +448,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
         rec_v = jnp.where(sb, rec_vs, rec_v)
 
     # node RD cost for the quadtree split decision
-    lamf = lam_full_t[qp]
+    lamf = lam_full_t[qp]                            # scalar or (nb,)
     bits_lv = jnp.minimum(
         tables.level_bits_est(lev_y, xp=jnp).reshape(nb, -1).sum(axis=-1),
         16383)
@@ -650,7 +660,8 @@ def _sad_grids(cur16, ry, *, S, search):
 
 def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
                   search: int, me_precision: int, sign_hiding: bool,
-                  tr_split: bool = False, intra_in_p: bool = False):
+                  tr_split: bool = False, intra_in_p: bool = False,
+                  qp_rows=None):
     """Inter CU quadtree P stage (CTU -> ... -> 16, PU = TU = CU).
 
     TPU-first hierarchical ME: ONE 16-granular SAD grid sweep; parent
@@ -700,7 +711,7 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
                                S=S, qp=qp, qp_c=qp_c, lam=lam, search=search,
                                me_precision=me_precision,
                                sign_hiding=sign_hiding,
-                               tr_split=tr_split)
+                               tr_split=tr_split, qp_rows=qp_rows)
         enc[S]["icost"] = icost
 
     def sum4(a):
@@ -803,17 +814,18 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
         ht = jnp.broadcast_to(rr[:, None] > 0, (nby, nbx))
         blocks = cur.reshape(nby, 32, nbx, 32).transpose(0, 2, 1, 3)
 
-        def one(o, t, l, co, h_l, h_t):
+        def one(o, t, l, co, h_l, h_t, qp_r):
             refs = intra_ops.prepare_refs(t, l, co, h_l, h_t, size=32,
                                           c_idx=0, strong_smoothing=True)
             preds = intra_ops.predict_all_modes(*refs, size=32, c_idx=0)
             preds = preds[jnp.asarray(MODES)]
             resid = o[None] - preds
             coeff = tx_ops.forward_transform(resid)
-            lev = quant_ops.quantize(coeff, qp, 5, is_intra=True)
+            lev = quant_ops.quantize(coeff, qp_r, 5, is_intra=True)
             if sign_hiding:
-                lev = quant_ops.sign_bit_hiding(lev, coeff, qp, 5)
-            rr_ = tx_ops.inverse_transform(quant_ops.dequantize(lev, qp, 5))
+                lev = quant_ops.sign_bit_hiding(lev, coeff, qp_r, 5)
+            rr_ = tx_ops.inverse_transform(
+                quant_ops.dequantize(lev, qp_r, 5))
             nz_ = jnp.any(lev != 0, axis=(-1, -2))
             rr_ = jnp.where(nz_[:, None, None], rr_, 0)
             rec_ = jnp.clip(preds + rr_, 0, 255)
@@ -823,9 +835,11 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
             k = jnp.argmin(cost)
             return (jnp.asarray(MODES, I32)[k], cost[k], lev[k], rec_[k])
 
+        qp_row_v = (qp_rows if qp_rows is not None
+                    else jnp.broadcast_to(qp, (nby,)))
         im, icst, ilev, irec = jax.lax.map(
-            lambda a: jax.vmap(one)(*a),
-            (blocks, topv, leftv, cornr, hl, ht))
+            lambda a: jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, None))(*a),
+            (blocks, topv, leftv, cornr, hl, ht, qp_row_v))
 
         cand = icst < c32eff
         # 4-color cascade: color k accepts only if no earlier-color accept
@@ -849,13 +863,14 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
         for ci, (rc_c, plane_c) in enumerate(
                 ((recu, u_pad), (recv, v_pad)), start=1):
             pass
-        def chroma_one(o, t, l, co, h_l, h_t, m):
-            lv, rc2 = None, None
+        def chroma_one(o, t, l, co, h_l, h_t, m, qp_r):
             from .intra_jax import _encode_block_one_mode
-            return _encode_block_one_mode(o, t, l, co, h_l, h_t, m, size=16,
-                                          c_idx=1, qp=qp_c, lam_fx=lamf,
-                                          strong_smoothing=False,
-                                          sign_hiding=sign_hiding)
+            from .. import tables as _t
+            return _encode_block_one_mode(
+                o, t, l, co, h_l, h_t, m, size=16, c_idx=1,
+                qp=_t.chroma_qp_from_luma(qp_r, xp=jnp),
+                lam_fx=jnp.asarray(_t.LAMBDA_FX_P)[qp_r],
+                strong_smoothing=False, sign_hiding=sign_hiding)
 
         outs_c = []
         for rc_c, plane_c in ((recu, u_pad), (recv, v_pad)):
@@ -872,8 +887,9 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
             blkc = (plane_c.astype(I32).reshape(nby, 16, nbx, 16)
                     .transpose(0, 2, 1, 3))
             lvc, rcc = jax.lax.map(
-                lambda a: jax.vmap(chroma_one)(*a),
-                (blkc, topc, leftc, corc, hl, ht, im))
+                lambda a: jax.vmap(chroma_one,
+                                   in_axes=(0, 0, 0, 0, 0, 0, 0, None))(*a),
+                (blkc, topc, leftc, corc, hl, ht, im, qp_row_v))
             outs_c.append((lvc, rcc))
 
         # ---- substitution of accepted CTUs ----
@@ -923,13 +939,29 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
     lv16 = lev_vp.astype(jnp.int16)
     lev_packed = jnp.concatenate([ly16.reshape(-1), lu16.reshape(-1),
                                   lv16.reshape(-1)])
+    # per-CTU decoded-QP map for deblocking: coded CTUs (any cbf) carry
+    # their row target; uncoded CTUs inherit qPY_PREV (== SliceQpY at each
+    # row start under entropy_coding_sync, spec 8.6.1 with QG == CTB)
+    nby_c, nbx_c = H // ctu, W // ctu
+    if qp_rows is not None:
+        cbf_ctu = (nz.reshape(nby_c, ctu // 4, nbx_c, ctu // 4)
+                   .any(axis=(1, 3)))
+        row_t = jnp.repeat(qp_rows[:, None]
+                           if qp_rows.shape[0] == nby_c else
+                           jnp.broadcast_to(qp, (nby_c, 1)), nbx_c, 1)
+        seen = jnp.cumsum(cbf_ctu.astype(I32), axis=1) > 0
+        qp_ctu_final = jnp.where(cbf_ctu, row_t,
+                                 jnp.where(seen, row_t, qp))
+    else:
+        qp_ctu_final = jnp.broadcast_to(jnp.asarray(qp, I32),
+                                        (nby_c, nbx_c))
     meta_packed = jnp.concatenate([depth_u.reshape(-1), mv_u.reshape(-1),
                                    nz.reshape(-1), trd_u.reshape(-1),
                                    pred_intra_u.reshape(-1),
                                    enc[ctu]["icost"].reshape(-1)])
     return dict(
         depth_u=depth_u, mv_u=mv_u, cbf_u=cbf_u, trd_u=trd_u,
-        pred_intra_u=pred_intra_u,
+        pred_intra_u=pred_intra_u, qp_ctu=qp_ctu_final,
         sad=enc[ctu]["icost"],
         lev_y=ly16, lev_u=lu16, lev_v=lv16,
         lev_packed=lev_packed,
@@ -951,7 +983,8 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
 def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
                         ctu: int, qp, search: int, me_precision: int,
                         deblock: bool = False, sign_hiding: bool = False,
-                        tr_split: bool = False, intra_in_p: bool = False):
+                        tr_split: bool = False, intra_in_p: bool = False,
+                        qp_rows=None):
     """Quadtree P frame, all device: hierarchical ME + per-level coding +
     split select (+ on-device deblock of the selected reconstruction)."""
     H, W = y_pad.shape
@@ -961,7 +994,7 @@ def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
     result = _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, ctu=ctu, qp=qp,
                            search=search, me_precision=me_precision,
                            sign_hiding=sign_hiding, tr_split=tr_split,
-                           intra_in_p=intra_in_p)
+                           intra_in_p=intra_in_p, qp_rows=qp_rows)
     if deblock:
         from ..ops import deblock as dbk
         ctu_log2 = ctu.bit_length() - 1
@@ -969,7 +1002,8 @@ def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
             result["depth_u"], result["mv_u"], result["cbf_u"],
             ctu_log2, xp=jnp, trd_u=result["trd_u"],
             intra_u=result["pred_intra_u"])
-        qp_map = jnp.full((H // 4, W // 4), qp, jnp.int32)
+        qp_map = jnp.repeat(jnp.repeat(result["qp_ctu"], ctu // 4, 0),
+                            ctu // 4, 1)
         fy, fu, fv = dbk.deblock_frame(
             result["recon_y"].astype(I32), result["recon_u"].astype(I32),
             result["recon_v"].astype(I32),

@@ -95,6 +95,20 @@ class RateControl:
         # clamp to the buffer (overflow/underflow handling :246-261)
         self.fullness = max(0.0, min(self.vbv_size, self.fullness))
 
+    def plan_rows(self, base_qp: int, n_rows: int, prev_row_load=None):
+        """Per-CTU-row QP plan (role of hmr_rc_get_cu_qp,
+        hmr_rate_control.c:266-350, feedforward form): rows that spent
+        well above the frame average last frame get +1 QP, well below -1,
+        clamped to the valid range. Flat when no history exists."""
+        import numpy as np
+        qps = np.full(n_rows, base_qp, np.int32)
+        if prev_row_load is not None and len(prev_row_load) == n_rows:
+            load = np.asarray(prev_row_load, np.float64)
+            mean = max(load.mean(), 1e-9)
+            qps = qps + np.where(load > 1.5 * mean, 1,
+                                 np.where(load < 0.5 * mean, -1, 0))
+        return np.clip(qps, 0, 51).astype(np.int32)
+
     # ------------------------------------------------------- scene change
     def on_scene_change(self) -> None:
         """hmr_rc_change_pic_mode (:49-87): re-target mid-GOP after a scene

@@ -70,3 +70,20 @@ def test_chunk_decodes():
         assert np.array_equal(dy, recons[k][0]), f"luma mismatch frame {k}"
         assert np.array_equal(du, recons[k][1])
         assert np.array_equal(dv, recons[k][2])
+
+
+@pytest.mark.parametrize("depth", [2, 3])
+def test_pipeline_depth_matches(depth):
+    """cfg.frame_pipeline_depth keeps D chunks in flight; streams must
+    stay byte-identical to the per-frame path."""
+    import dataclasses
+    W, H = 128, 96
+    frames = list(synth_clip(W, H, 7, seed=3))
+    cfg = _cfg(W, H, PerformanceMode.FASTEST_COMPUTATION,
+               sample_adaptive_offset=True, deblocking=True)
+    ref = HomerEncoder(cfg, backend="jax", fetch_recon=False)
+    want = [ref.encode_frame(*f) for f in frames]
+    c2 = dataclasses.replace(cfg, frame_pipeline_depth=depth)
+    enc = HomerEncoder(c2, backend="jax", fetch_recon=False)
+    got = enc.encode_frames(frames, chunk=2)
+    assert want == got
