@@ -414,7 +414,7 @@ class HomerEncoder:
             ref0[0], ref0[1], ref0[2], ref1[0], ref1[1], ref1[2],
             B=1 << self.ctu_log2, qp=qp, search=c.me_search_range,
             me_precision=int(c.motion_estimation_precision),
-            sign_hiding=c.sign_hiding)
+            sign_hiding=c.sign_hiding, vis=(c.height, c.width))
         plan = b_golden.build_b_plans(
             np.asarray(out["idc"]), np.asarray(out["mv0"]),
             np.asarray(out["mv1"]), np.asarray(out["lev_y"]),
@@ -539,7 +539,8 @@ class HomerEncoder:
                 tr_split=self.inter_split,
                 intra_in_p=(self.inter_split and ctu == 32),
                 qp_rows=(None if qp_rows is None
-                         else jnp.asarray(qp_rows, jnp.int32)))
+                         else jnp.asarray(qp_rows, jnp.int32)),
+                vis=(c.height, c.width))
         self._ref = (fy, fu, fv)
         return wires, denses, self._last_row_plans
 
@@ -659,7 +660,7 @@ class HomerEncoder:
                 search=c.me_search_range,
                 me_precision=int(c.motion_estimation_precision),
                 deblock=deblk, sign_hiding=c.sign_hiding, tr_split=True,
-                intra_in_p=(ctu == 32))
+                intra_in_p=(ctu == 32), vis=(c.height, c.width))
         uh, uw = self.ph // 4, self.pw // 4
         nby, nbx = self.ph // ctu, self.pw // ctu
         npix = self.ph * self.pw

@@ -166,10 +166,10 @@ def _code_cu(orig, pred, qpq, lg2, sign_hiding, lam_full_t):
 
 @functools.partial(jax.jit,
                    static_argnames=("B", "search", "me_precision",
-                                    "sign_hiding"))
+                                    "sign_hiding", "vis"))
 def b_frame_device(y_pad, u_pad, v_pad, r0y, r0u, r0v, r1y, r1u, r1v, *,
                    B: int, qp, search: int, me_precision: int,
-                   sign_hiding: bool = False):
+                   sign_hiding: bool = False, vis=None):
     """One B frame, CU = TU = B grid, refs (past, future). Returns per-block
     arrays: inter_dir idc (0 L0 / 1 L1 / 2 BI), mv0/mv1, levels, recon."""
     H, W = y_pad.shape
@@ -255,12 +255,25 @@ def b_frame_device(y_pad, u_pad, v_pad, r0y, r0u, r0v, r1y, r1u, r1v, *,
              .transpose(1, 3, 0, 2).reshape(B2, B2, nb))
     blk_v = (v_pad.astype(I32).reshape(nby, B2, nbx, B2)
              .transpose(1, 3, 0, 2).reshape(B2, B2, nb))
-    lev_y, rec_y = _code_cu(tob(blk), tob(pred_y), qp, log2, sign_hiding,
+    oy, ou, ov = tob(blk), tob(blk_u), tob(blk_v)
+    py_, pu_, pv_ = tob(pred_y), tob(pred_u), tob(pred_v)
+    if vis is not None and (vis[0] < H or vis[1] < W):
+        ys = jnp.arange(B)
+        vmy = ((bi_ // nbx)[:, None] * B + ys[None]) < vis[0]
+        vmx = ((bi_ % nbx)[:, None] * B + ys[None]) < vis[1]
+        m_l = vmy[:, :, None] & vmx[:, None, :]
+        oy = jnp.where(m_l, oy, py_)
+        ys2 = jnp.arange(B2)
+        vmy2 = ((bi_ // nbx)[:, None] * B2 + ys2[None]) < vis[0] // 2
+        vmx2 = ((bi_ % nbx)[:, None] * B2 + ys2[None]) < vis[1] // 2
+        m_c = vmy2[:, :, None] & vmx2[:, None, :]
+        ou = jnp.where(m_c, ou, pu_)
+        ov = jnp.where(m_c, ov, pv_)
+    lev_y, rec_y = _code_cu(oy, py_, qp, log2, sign_hiding, lam_full_t)
+    lev_u, rec_u = _code_cu(ou, pu_, qp_c, log2 - 1, sign_hiding,
                             lam_full_t)
-    lev_u, rec_u = _code_cu(tob(blk_u), tob(pred_u), qp_c, log2 - 1,
-                            sign_hiding, lam_full_t)
-    lev_v, rec_v = _code_cu(tob(blk_v), tob(pred_v), qp_c, log2 - 1,
-                            sign_hiding, lam_full_t)
+    lev_v, rec_v = _code_cu(ov, pv_, qp_c, log2 - 1, sign_hiding,
+                            lam_full_t)
 
     out = dict(idc=idc.reshape(nby, nbx),
                mv0=jnp.stack([mvx0, mvy0], -1).reshape(nby, nbx, 2),

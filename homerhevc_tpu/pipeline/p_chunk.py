@@ -151,12 +151,13 @@ def _sao_device(cur, rec, ctu: int, qp: int, qp_c: int):
 @functools.partial(jax.jit,
                    static_argnames=("ctu", "search", "me_precision",
                                     "sign_hiding", "deblock", "sao", "cap",
-                                    "tree", "tr_split", "intra_in_p"))
+                                    "tree", "tr_split", "intra_in_p",
+                                    "vis"))
 def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                    search: int, me_precision: int, sign_hiding: bool,
                    deblock: bool, sao: bool, cap: int, tree: bool,
                    tr_split: bool = False, intra_in_p: bool = False,
-                   qp_rows=None):
+                   qp_rows=None, vis=None):
     """qp_rows (K, H//ctu) enables per-CTU-row QPs (cu_qp_delta)."""
     """Encode K consecutive P frames in one dispatch.
 
@@ -180,7 +181,7 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                 y, u, v, ryp, rup, rvp, ctu=ctu, qp=qp, search=search,
                 me_precision=me_precision, sign_hiding=sign_hiding,
                 tr_split=tr_split, intra_in_p=intra_in_p,
-                qp_rows=(qrow if qp_rows is not None else None))
+                qp_rows=(qrow if qp_rows is not None else None), vis=vis)
             depth_u = res["depth_u"]
             mv_u = res["mv_u"]
             cbf_u = res["cbf_u"]

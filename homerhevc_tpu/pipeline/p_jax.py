@@ -145,7 +145,7 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
 
 def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
                   lam, search, me_precision, sign_hiding, tr_split=False,
-                  qp_rows=None):
+                  qp_rows=None, vis=None):
     """Subpel refinement + MC + residual coding for every S-sized block of
     the frame. Returns per-block arrays plus an integer RD cost (luma SSD +
     lambda*(level-bits-est + mv bits)) used by the quadtree split decision.
@@ -406,6 +406,24 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     blk_b = tob(blk)
     blk_ub, blk_vb = tob(blk_u), tob(blk_v)
     pred_yb, pred_ub, pred_vb = tob(pred_y), tob(pred_u), tob(pred_v)
+    if vis is not None and (vis[0] < H or vis[1] < W):
+        # Conformance-window padding: rows/cols beyond the visible picture
+        # are cropped by the decoder — spend no residual bits there
+        # (orig := pred zeroes the padded region's residual; costs below
+        # then also ignore invisible distortion).
+        ys = jnp.arange(S)
+        row0 = (bi // nbx) * S
+        col0 = (bi % nbx) * S
+        vmy = (row0[:, None] + ys[None]) < vis[0]   # (nb, S)
+        vmx = (col0[:, None] + ys[None]) < vis[1]
+        m_l = (vmy[:, :, None] & vmx[:, None, :])
+        blk_b = jnp.where(m_l, blk_b, pred_yb)
+        ys2 = jnp.arange(S2)
+        vmy2 = ((bi // nbx)[:, None] * S2 + ys2[None]) < vis[0] // 2
+        vmx2 = ((bi % nbx)[:, None] * S2 + ys2[None]) < vis[1] // 2
+        m_c = (vmy2[:, :, None] & vmx2[:, None, :])
+        blk_ub = jnp.where(m_c, blk_ub, pred_ub)
+        blk_vb = jnp.where(m_c, blk_vb, pred_vb)
     lev_y, rec_y = code(blk_b, pred_yb, qp, log2)
     lev_u, rec_u = code(blk_ub, pred_ub, qp_c, log2 - 1, cmax_tb)
     lev_v, rec_v = code(blk_vb, pred_vb, qp_c, log2 - 1, cmax_tb)
@@ -661,7 +679,7 @@ def _sad_grids(cur16, ry, *, S, search):
 def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
                   search: int, me_precision: int, sign_hiding: bool,
                   tr_split: bool = False, intra_in_p: bool = False,
-                  qp_rows=None):
+                  qp_rows=None, vis=None):
     """Inter CU quadtree P stage (CTU -> ... -> 16, PU = TU = CU).
 
     TPU-first hierarchical ME: ONE 16-granular SAD grid sweep; parent
@@ -711,7 +729,7 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
                                S=S, qp=qp, qp_c=qp_c, lam=lam, search=search,
                                me_precision=me_precision,
                                sign_hiding=sign_hiding,
-                               tr_split=tr_split, qp_rows=qp_rows)
+                               tr_split=tr_split, qp_rows=qp_rows, vis=vis)
         enc[S]["icost"] = icost
 
     def sum4(a):
@@ -979,12 +997,12 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
 @functools.partial(jax.jit,
                    static_argnames=("ctu", "search", "me_precision",
                                     "deblock", "sign_hiding", "tr_split",
-                                    "intra_in_p"))
+                                    "intra_in_p", "vis"))
 def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
                         ctu: int, qp, search: int, me_precision: int,
                         deblock: bool = False, sign_hiding: bool = False,
                         tr_split: bool = False, intra_in_p: bool = False,
-                        qp_rows=None):
+                        qp_rows=None, vis=None):
     """Quadtree P frame, all device: hierarchical ME + per-level coding +
     split select (+ on-device deblock of the selected reconstruction)."""
     H, W = y_pad.shape
@@ -994,7 +1012,7 @@ def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
     result = _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, ctu=ctu, qp=qp,
                            search=search, me_precision=me_precision,
                            sign_hiding=sign_hiding, tr_split=tr_split,
-                           intra_in_p=intra_in_p, qp_rows=qp_rows)
+                           intra_in_p=intra_in_p, qp_rows=qp_rows, vis=vis)
     if deblock:
         from ..ops import deblock as dbk
         ctu_log2 = ctu.bit_length() - 1
