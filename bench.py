@@ -4,40 +4,49 @@ Headline: END-TO-END 720p IPPP frames/s on one chip through the public API
 (BASELINE.md config #3: quarter-pel ME, inter CU quadtree / fast RD,
 SAO + deblock + sign-hiding on). The encode runs through
 HomerEncoder.encode_frames — the chunked device pipeline (K frames per
-dispatch, device-resident reference loop, host CABAC overlapped with the
-next chunk's device compute). vs_baseline compares against the measured
-HomerHEVC-SSE42 Release fps at the same operating point on the eval host
-(BASELINE_MEASURED.json "ippp_720": 22.69 fps).
+dispatch, device-resident reference loop, frame_pipeline_depth=2 so host
+CABAC for chunk k overlaps device compute for chunk k+1). vs_baseline
+compares against the measured HomerHEVC-SSE42 Release fps at the same
+operating point on the eval host (BASELINE_MEASURED.json "ippp_720").
 
-Every frame's Annex-B bytes are materialized on the host, so the timing is
-immune to async-dispatch artifacts and to the axon backend's result cache
-(each frame's content differs). Per-chunk timings are written to
-BENCH_DETAIL.json for diagnosis; stdout stays a single JSON line.
+Robustness: the measurement runs in a CHILD process; the parent retries on
+failure (the axon TPU tunnel drops and recovers on its own — round 2's
+driver bench was lost to one such outage) and ALWAYS prints a single JSON
+line, with an "error" field instead of a traceback on persistent failure.
+
+Honesty: every frame's Annex-B bytes are materialized on the host (timing
+immune to async-dispatch artifacts and the axon result cache — each frame's
+content differs); the reported value is the MEDIAN of three identical timed
+windows (flake policy: medians resist one-off tunnel stalls in either
+direction; all runs recorded in BENCH_DETAIL.json).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+METRIC = "ippp_720p_fps"
 
 # Persistent compile cache: the first TPU run pays remote compiles; repeats
 # (the driver's round-end run) hit the cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+                      os.path.join(REPO, ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-REPO = os.path.dirname(os.path.abspath(__file__))
+
+def _baseline():
+    try:
+        with open(os.path.join(REPO, "BASELINE_MEASURED.json")) as fh:
+            return json.load(fh)["configs"]["ippp_720"]["fps"]
+    except Exception:
+        return None
 
 
-def run_window(enc, frames, chunk):
-    """Encode frames via the chunked API, returning (bytes, dt, per-AU)."""
-    t0 = time.perf_counter()
-    aus = enc.encode_frames(frames, chunk=chunk)
-    dt = time.perf_counter() - t0
-    return sum(len(a) for a in aus), dt, [len(a) for a in aus]
-
-
-def main():
+def inner():
+    """The actual measurement (runs in a child process)."""
     from homerhevc_tpu.api import HomerEncoder
     from homerhevc_tpu.config import EncoderConfig, PerformanceMode
     from homerhevc_tpu.utils.synth import synth_clip
@@ -50,53 +59,96 @@ def main():
     cfg = EncoderConfig(width=W, height=H, qp=QP, cu_size=32,
                         intra_period=100, sign_hiding=True,
                         sample_adaptive_offset=True, deblocking=True,
-                        me_search_range=64,
+                        me_search_range=64, frame_pipeline_depth=2,
                         performance_mode=PerformanceMode.FAST_COMPUTATION)
-    enc = HomerEncoder(cfg, backend="jax", fetch_recon=False)
 
+    def run_window(enc, fr):
+        t0 = time.perf_counter()
+        aus = enc.encode_frames(fr, chunk=CHUNK)
+        dt = time.perf_counter() - t0
+        return sum(len(a) for a in aus), dt, [len(a) for a in aus]
+
+    enc = HomerEncoder(cfg, backend="jax", fetch_recon=False)
     # Warm: the IDR + one full-size P chunk (compiles every shape the timed
     # window uses; .jax_cache makes repeats cheap).
-    warm_bytes, warm_dt, _ = run_window(enc, frames[:N_WARM], CHUNK)
+    t_w0 = time.perf_counter()
+    run_window(enc, frames[:N_WARM])
+    warm_dt = time.perf_counter() - t_w0
 
-    total_bytes, dt, au_sizes = run_window(enc, frames[N_WARM:], CHUNK)
-    fps1 = fps = N_BENCH / dt
-
-    # Tunnel-flake guard: if the timed window was wildly slower than a
-    # second identical-shape run, the first hit a tunnel stall — report the
-    # better (both are honest end-to-end encodes of real frames).
-    fps2 = None
-    if fps < 40.0:
+    runs = []
+    total_bytes = au_sizes = None
+    for _ in range(3):
         enc2 = HomerEncoder(cfg, backend="jax", fetch_recon=False)
-        run_window(enc2, frames[:N_WARM], CHUNK)
-        b2, dt2, _ = run_window(enc2, frames[N_WARM:], CHUNK)
-        fps2 = N_BENCH / dt2
-        if fps2 > fps:
-            fps, dt, total_bytes = fps2, dt2, b2
+        run_window(enc2, frames[:N_WARM])          # rebuild the ref chain
+        b, dt, sizes = run_window(enc2, frames[N_WARM:])
+        runs.append(N_BENCH / dt)
+        total_bytes, au_sizes = b, sizes
+    fps = sorted(runs)[len(runs) // 2]
 
-    try:
-        with open(os.path.join(REPO, "BASELINE_MEASURED.json")) as fh:
-            base = json.load(fh)["configs"]["ippp_720"]["fps"]
-    except Exception:
-        base = None
-
+    base = _baseline()
     try:
         with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
-            json.dump({"warm_s": round(warm_dt, 3), "bench_s": round(dt, 3),
-                       "fps_run1_vs_run2": [round(fps1, 2),
-                                            round(fps2, 2) if fps2 else None],
+            json.dump({"warm_s": round(warm_dt, 3),
+                       "fps_runs": [round(r, 2) for r in runs],
+                       "policy": "median of 3 identical timed windows",
                        "bytes": total_bytes, "au_sizes": au_sizes,
                        "n_frames": N_BENCH, "chunk": CHUNK,
-                       "mode": "FAST(tree)"}, fh)
+                       "pipeline_depth": 2, "mode": "FAST(tree)"}, fh)
     except Exception:
         pass
 
     print(json.dumps({
-        "metric": "ippp_720p_fps",
+        "metric": METRIC,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / base, 3) if base else None,
     }))
 
 
+def outer():
+    """Retry wrapper: the axon tunnel can be down for minutes at a time;
+    keep retrying the child until a JSON line appears or the deadline."""
+    deadline = time.time() + float(os.environ.get("BENCH_DEADLINE_S", 2700))
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", 1800))
+    errors = []
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = deadline - time.time()
+        if budget <= 60 and attempt > 1:
+            break
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                capture_output=True, text=True,
+                timeout=max(min(attempt_timeout, budget), 300))
+            for line in reversed(p.stdout.strip().splitlines()):
+                try:
+                    obj = json.loads(line)
+                except Exception:
+                    continue
+                if obj.get("metric") == METRIC and obj.get("value"):
+                    print(line)
+                    return
+            tail = (p.stderr or p.stdout or "").strip().splitlines()[-1:]
+            errors.append(f"attempt {attempt} rc={p.returncode}: "
+                          f"{tail[0][:200] if tail else 'no output'}")
+        except subprocess.TimeoutExpired:
+            errors.append(f"attempt {attempt}: timeout")
+        if time.time() + 90 > deadline:
+            break
+        time.sleep(60)      # tunnel outages recover on their own
+    base = _baseline()
+    print(json.dumps({
+        "metric": METRIC, "value": None, "unit": "frames/s",
+        "vs_baseline": None,
+        "error": "TPU backend unavailable for the whole bench window; "
+                 + " | ".join(errors[-3:]),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        inner()
+    else:
+        outer()

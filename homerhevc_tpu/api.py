@@ -190,6 +190,17 @@ class HomerEncoder:
                                    (c.height // 2, c.width // 2))))
         return au
 
+    def _requery_idr_qp(self, qp: int) -> int:
+        """Scene-cut re-encode: re-query RC at I-frame settings so the IDR
+        is coded at the intended (finer) QP and the RC target bookkeeping
+        reflects an I frame (reference: hmr_rc_change_pic_mode,
+        hmr_rate_control.c:49-87, runs before the intra re-encode)."""
+        if self._rc is None:
+            return qp
+        qp = int(np.clip(self._rc.frame_qp(True), 0, 51))
+        self.last_qp = qp
+        return qp
+
     # ------------------------------------------------------------------
     def _encode_jax(self, yp, up, vp, is_idr, qp):
         import jax.numpy as jnp
@@ -239,12 +250,15 @@ class HomerEncoder:
             with self.prof.probe("sao"):
                 sao_info = self._maybe_sao(yp, up, vp, qp)
             with self.prof.probe("entropy"):
+                # VPS/SPS/PPS re-emitted on EVERY IDR for mid-stream random
+                # access (reference: hmr_encoder_lib.c:3287-3306).
                 au = assemble.assemble_idr_au_from_maps(
                     self.params, maps, slice_qp=qp,
-                    include_parameter_sets=(self.poc == 0), sao_info=sao_info)
+                    include_parameter_sets=True, sao_info=sao_info)
         elif self.inter_split:
             au = self._encode_p_tree(yp, up, vp, qp)
-            if au is None:       # scene cut: re-encode as IDR
+            if au is None:       # scene cut: re-encode as IDR at I-frame QP
+                qp = self._requery_idr_qp(qp)
                 return self._encode_jax(yp, up, vp, True, qp)
         else:
             with self.prof.probe("p.device"):
@@ -273,6 +287,7 @@ class HomerEncoder:
                     self._scene_idr = True
                     if self._rc:
                         self._rc.on_scene_change()
+                    qp = self._requery_idr_qp(qp)
                     return self._encode_jax(yp, up, vp, True, qp)
             lev_y = wire[:ny].reshape(nby, nbx, size, size)
             lev_u = wire[ny:ny + nc].reshape(nby, nbx, B2, B2)
@@ -723,7 +738,7 @@ class HomerEncoder:
             sao_info = self._maybe_sao(yp, up, vp, qp)
             au = assemble.assemble_idr_au(
                 self.params, plan.ctu_plans, slice_qp=qp,
-                include_parameter_sets=(self.poc == 0), sao_info=sao_info)
+                include_parameter_sets=True, sao_info=sao_info)
         else:
             pplan = p_golden.encode_p_frame(
                 yp, up, vp, self._ref, qp=qp, ctu_log2=self.ctu_log2,
@@ -736,6 +751,7 @@ class HomerEncoder:
                     self._scene_idr = True
                     if self._rc:
                         self._rc.on_scene_change()
+                    qp = self._requery_idr_qp(qp)
                     return self._encode_golden(yp, up, vp, True, qp)
             self._ref = gop_mod._deblock_inter(pplan.recon, qp, h, w,
                                                min(size, 32), pplan.field,

@@ -11,6 +11,7 @@
 // Build: g++ -O3 -shared -fPIC henc_native.cc -o libhenc.so (layout.h is
 // generated from the Python tables by gen_layout.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -19,6 +20,17 @@
 #include "layout.h"
 
 namespace {
+
+// Optional RD-diagnostics probe: exact fractional bits (-log2 p) per syntax
+// category, accumulated while encoding (role of the reference's counter
+// twin's fracBits bookkeeping, hmr_binary_encoding.c:280-301, repurposed as
+// a measurement tool). Enabled via henc_set_bit_probe; zero cost when off.
+enum BitCat {
+  CAT_SAO = 0, CAT_SPLIT_CU, CAT_SKIP, CAT_MERGE, CAT_PRED_PART, CAT_MVD,
+  CAT_MVP, CAT_INTRA_MODE, CAT_TT, CAT_LAST_XY, CAT_SIG, CAT_LEVEL,
+  CAT_DQP, CAT_TERM, N_BIT_CAT
+};
+static double* g_cat_bits = nullptr;
 
 // ------------------------------------------------------------------ bits
 struct BitWriter {
@@ -46,6 +58,7 @@ struct Bac {
   bool first = true;
   uint8_t* state;  // NUM_CTX
   uint8_t* mps;
+  int cat = CAT_TERM;  // current syntax category for the bit probe
 
   void put_bit(int b) {
     if (first)
@@ -75,6 +88,9 @@ struct Bac {
   void bin(int ctx, int v) {
     int st = state[ctx], m = mps[ctx];
     uint32_t lps = RANGE_TAB_LPS[st][(range >> 6) & 3];
+    if (g_cat_bits)
+      g_cat_bits[cat] += std::log2(
+          (double)range / (double)(v != m ? lps : range - lps));
     range -= lps;
     if (v != m) {
       low += range;
@@ -87,6 +103,7 @@ struct Bac {
     renorm();
   }
   void bypass(int v) {
+    if (g_cat_bits) g_cat_bits[cat] += 1.0;
     low <<= 1;
     if (v) low += range;
     if (low >= 1024) {
@@ -103,6 +120,9 @@ struct Bac {
     for (int i = n - 1; i >= 0; i--) bypass((v >> i) & 1);
   }
   void terminate(int v) {
+    if (g_cat_bits)
+      g_cat_bits[CAT_TERM] +=
+          std::log2((double)range / (double)(v ? 2 : range - 2));
     range -= 2;
     if (v) {
       low += range;
@@ -262,6 +282,7 @@ struct SliceEnc {
   int sao_nx = 0;
 
   void sao_syntax(int rx, int ry) {
+    bac->cat = CAT_SAO;
     const int8_t* e = m.sao + (ry * sao_nx + rx) * SAO_REC;
     bool ml = e[0], mu = e[1];
     if (rx > 0) bac->bin(OFF_SAO_MERGE, ml);
@@ -317,6 +338,7 @@ struct SliceEnc {
 
   // cu_qp_delta_abs (9.3.3.10: TR prefix cMax 5 + EG0 bypass) + sign
   void cu_qp_delta_bins(int delta) {
+    bac->cat = CAT_DQP;
     int a = delta < 0 ? -delta : delta;
     int pre = a < 5 ? a : 5;
     bac->bin(OFF_DQP, pre > 0);
@@ -345,6 +367,7 @@ struct SliceEnc {
         ctx += g_depth[gy * uw + gx - 1] > depth;
       if (gy > 0 && g_avail[(gy - 1) * uw + gx])
         ctx += g_depth[(gy - 1) * uw + gx] > depth;
+      bac->cat = CAT_SPLIT_CU;
       bac->bin(OFF_SPLIT_CU + ctx, split);
     } else if (!inside) {
       split = log2_size > p.min_cu_log2;
@@ -385,6 +408,7 @@ struct SliceEnc {
 
   // ---------------------------------------------------------------- inter
   void merge_idx_bins(int idx) {
+    bac->cat = CAT_MERGE;
     int cmax = p.max_merge_cand - 1;
     if (cmax == 0) return;
     bac->bin(OFF_MERGE_IDX, idx > 0);
@@ -405,6 +429,7 @@ struct SliceEnc {
   }
 
   void mvd_coding(int mvd_x, int mvd_y) {
+    bac->cat = CAT_MVD;
     int ax = mvd_x < 0 ? -mvd_x : mvd_x;
     int ay = mvd_y < 0 ? -mvd_y : mvd_y;
     bac->bin(OFF_MVD, ax > 0);
@@ -437,6 +462,7 @@ struct SliceEnc {
     int ctx = 0;
     if (gx > 0 && g_avail[gy * uw + gx - 1]) ctx += g_skip[gy * uw + gx - 1];
     if (gy > 0 && g_avail[(gy - 1) * uw + gx]) ctx += g_skip[(gy - 1) * uw + gx];
+    bac->cat = CAT_SKIP;
     bac->bin(OFF_SKIP + ctx, skip);
     if (skip) {
       merge_idx_bins(m.merge_idx[u]);
@@ -444,6 +470,7 @@ struct SliceEnc {
       return;
     }
     bool is_intra = m.pred_intra && m.pred_intra[u];
+    bac->cat = CAT_PRED_PART;
     bac->bin(OFF_PRED_MODE, is_intra);
     if (is_intra) {
       intra_coding_unit(x0, y0, log2_size, depth);
@@ -451,6 +478,7 @@ struct SliceEnc {
     }
     bac->bin(OFF_PART_SIZE, 1);  // PART_2Nx2N
     bool merge = m.merge_flag[u];
+    bac->cat = CAT_MERGE;
     bac->bin(OFF_MERGE_FLAG, merge);
     if (merge) {
       merge_idx_bins(m.merge_idx[u]);
@@ -458,15 +486,18 @@ struct SliceEnc {
       int idc = 0;
       if (p.slice_type == 0) {  // B slice: inter_pred_idc (9.3.3.8)
         idc = m.inter_dir ? m.inter_dir[u] : 0;
+        bac->cat = CAT_MVP;
         bac->bin(OFF_INTER_DIR + depth, idc == 2);
         if (idc != 2) bac->bin(OFF_INTER_DIR + 4, idc == 1);
       }
       if (idc != 1) {
         mvd_coding(m.mvd[2 * u], m.mvd[2 * u + 1]);
+        bac->cat = CAT_MVP;
         bac->bin(OFF_MVP_IDX, m.mvp_idx[u]);
       }
       if (idc != 0) {
         mvd_coding(m.mvd1[2 * u], m.mvd1[2 * u + 1]);
+        bac->cat = CAT_MVP;
         bac->bin(OFF_MVP_IDX, m.mvp_idx1[u]);
       }
     }
@@ -476,6 +507,7 @@ struct SliceEnc {
     bool has_resid = any_coeff(m.cy, W, x0, y0, size) ||
                      any_coeff(m.ccb, W2, x0 / 2, y0 / 2, size / 2) ||
                      any_coeff(m.ccr, W2, x0 / 2, y0 / 2, size / 2);
+    bac->cat = CAT_TT;
     if (!merge) bac->bin(OFF_ROOT_CBF, has_resid);
     if (has_resid)
       transform_tree(x0, y0, x0, y0, log2_size, 0, 0, false,
@@ -541,6 +573,7 @@ struct SliceEnc {
           g_avail[yy * uw + xx] = 1;
         }
     }
+    bac->cat = CAT_INTRA_MODE;
     for (int i = 0; i < nparts; i++) {
       bool in_mpm = modes[i] == mpms[i][0] || modes[i] == mpms[i][1] ||
                     modes[i] == mpms[i][2];
@@ -589,6 +622,7 @@ struct SliceEnc {
 
     bool intra_split = part_nxn;
     int max_depth = p.max_tr_depth_intra + (intra_split ? 1 : 0);
+    bac->cat = CAT_TT;
     transform_tree(x0, y0, x0, y0, log2_size, 0, 0, intra_split, max_depth,
                    true, true, true);
   }
@@ -613,6 +647,7 @@ struct SliceEnc {
       split = true;
     else if (log2_size == min_tb || trafo_depth == max_depth)
       split = false;
+    bac->cat = CAT_TT;
     if (expl) bac->bin(OFF_TRANS_SUBDIV + (5 - log2_size), split);
 
     bool cbf_cb = false, cbf_cr = false;
@@ -639,6 +674,7 @@ struct SliceEnc {
     }
 
     bool cbf_luma = cbf(x0, y0, log2_size, 0);
+    bac->cat = CAT_TT;
     if (is_intra || trafo_depth != 0 || cbf_cb || cbf_cr)
       bac->bin(OFF_CBF_LUMA + (trafo_depth == 0 ? 1 : 0), cbf_luma);
 
@@ -754,6 +790,7 @@ struct SliceEnc {
     }
     int scan_idx = cu_intra ? scan_mode_for_intra(log2_size, pred_mode, c_idx) : 0;
     const int32_t* scan = g_scans.coeff[log2_size - 2][scan_idx].data();
+    bac->cat = CAT_LAST_XY;
 
     // gather coefficients in scan order
     int nn = size * size;
@@ -796,6 +833,7 @@ struct SliceEnc {
         int right = sx + 1 < nsb_dim ? csbf[sy * (nsb_dim + 1) + sx + 1] : 0;
         int below = sy + 1 < nsb_dim ? csbf[(sy + 1) * (nsb_dim + 1) + sx] : 0;
         int ctx = (right + below > 0 ? 1 : 0) + (c_idx ? 2 : 0);
+        bac->cat = CAT_SIG;
         bac->bin(OFF_SIG_CG + ctx, sb_has[i]);
         infer_dc = true;
       } else {
@@ -813,6 +851,7 @@ struct SliceEnc {
         if (n > 0 || !infer_dc) {
           int ctx = sig_ctx(pos, scan, size, log2_size, c_idx, scan_idx,
                             csbf.data(), sx, sy);
+          bac->cat = CAT_SIG;
           bac->bin(OFF_SIG + ctx, sig);
           if (sig) infer_dc = false;
         }
@@ -827,6 +866,7 @@ struct SliceEnc {
         signs[k] = v < 0;
       }
 
+      bac->cat = CAT_LEVEL;
       int ctx_set = ((i > 0 && c_idx == 0) ? 2 : 0) + (c1 == 0 ? 1 : 0);
       c1 = 1;
       int gt1_flags[8], first_gt1 = -1;
@@ -856,6 +896,7 @@ struct SliceEnc {
         bac->bypass(signs[k]);
       }
 
+      bac->cat = CAT_LEVEL;
       int rice = 0;
       for (int k = 0; k < nsig; k++) {
         int base_level, code_rem;
@@ -886,6 +927,11 @@ struct SliceEnc {
 }  // namespace
 
 extern "C" {
+
+// RD diagnostics: point the encoder at a N_BIT_CAT-element double array to
+// accumulate exact fractional bits per syntax category (NULL to disable).
+void henc_set_bit_probe(double* p) { g_cat_bits = p; }
+int henc_bit_probe_ncat() { return N_BIT_CAT; }
 
 // Encodes slice_data() for all CTUs in raster order. ctx_state / ctx_mps are
 // the NUM_CTX initialised context arrays (computed by the Python side from

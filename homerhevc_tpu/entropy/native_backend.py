@@ -78,6 +78,30 @@ def _load():
     return _lib
 
 
+BIT_CATS = ("sao", "split_cu", "skip", "merge", "pred_part", "mvd", "mvp",
+            "intra_mode", "tt_cbf", "last_xy", "sig", "level", "dqp", "term")
+
+
+class bit_probe:
+    """Context manager: accumulate exact fractional CABAC bits per syntax
+    category across native encode calls. `.asdict()` -> {category: bits}."""
+
+    def __init__(self):
+        self.arr = np.zeros(len(BIT_CATS), np.float64)
+
+    def __enter__(self):
+        lib = _load()
+        assert lib is not None, f"native backend unavailable: {_err}"
+        lib.henc_set_bit_probe(self.arr.ctypes.data_as(ctypes.c_void_p))
+        return self
+
+    def __exit__(self, *exc):
+        _lib.henc_set_bit_probe(ctypes.c_void_p(None))
+
+    def asdict(self):
+        return {k: float(v) for k, v in zip(BIT_CATS, self.arr)}
+
+
 def available() -> bool:
     return _load() is not None
 
