@@ -149,6 +149,14 @@ class HomerEncoder:
         if self._row_qp_on:
             self.params = dataclasses.replace(
                 self.params, cu_qp_delta_enabled=True, cu_qp_delta_depth=0)
+        # background wire-fetch worker for the chunked pipeline: forcing the
+        # fetch off-thread starts the (lazily executed) device program right
+        # at dispatch and overlaps transfer with host CABAC.
+        self._fetch_pool = None
+        if backend == "jax":
+            import concurrent.futures
+            self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="homer-fetch")
 
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -472,10 +480,13 @@ class HomerEncoder:
                     or (c.intra_period > 0
                         and (poc - self.last_idr) % c.intra_period == 0))
 
-        # frame_pipeline_depth D keeps up to D chunks in flight: the
-        # device runs ahead of the host CABAC by D dispatches (deeper
-        # pipelining hides the wire fetch under later chunks' compute, at
-        # the cost of D chunks of RC / scene-decision staleness).
+        # frame_pipeline_depth D keeps up to D chunks in flight: each
+        # dispatched chunk's wire fetch runs in a BACKGROUND thread, which
+        # (a) forces the lazily-executed device program to start computing
+        # immediately (the runtime executes on demand) and (b) overlaps the
+        # device->host transfer and the next chunk's compute with this
+        # chunk's host CABAC. Cost: D chunks of RC / scene-decision
+        # staleness.
         depth = max(1, int(getattr(c, "frame_pipeline_depth", 1)))
         pend_q = []                     # FIFO of dispatched chunks
         while i < n or pend_q:
@@ -494,7 +505,9 @@ class HomerEncoder:
                     qps.append(int(np.clip(q, 0, 51)))
                 wires, denses, row_plans = self._dispatch_chunk(
                     [frames[k] for k in idxs], qps)
-                pend_q.append((idxs, qps, wires, denses, row_plans))
+                fut = (self._fetch_pool.submit(np.asarray, wires)
+                       if depth > 1 else None)
+                pend_q.append((idxs, qps, wires, fut, denses, row_plans))
                 i = j
             if pend_q:
                 res = self._finish_chunk(pend_q.pop(0), aus, frames)
@@ -531,9 +544,15 @@ class HomerEncoder:
                 usd = jax.device_put(us, sh)
                 vsd = jax.device_put(vs, sh)
             else:
-                ysd = jnp.asarray(ys)
-                usd = jnp.asarray(us)
-                vsd = jnp.asarray(vs)
+                import jax
+                # device_put transfers EAGERLY (jnp.asarray defers the
+                # upload into the next forcing fetch, where it would
+                # serialize with the chunk's compute + wire download);
+                # doing it here overlaps the upload with the in-flight
+                # previous chunk's background fetch.
+                ysd = jax.device_put(ys)
+                usd = jax.device_put(us)
+                vsd = jax.device_put(vs)
         ctu = 1 << self.ctu_log2
         qp_rows = None
         self._last_row_plans = None
@@ -576,9 +595,9 @@ class HomerEncoder:
 
         c = self.cfg
         ctu = 1 << self.ctu_log2
-        idxs, qps, wires, denses, row_plans = pending
+        idxs, qps, wires, fut, denses, row_plans = pending
         with self.prof.probe("chunk.fetch"):
-            wires_h = np.asarray(wires)
+            wires_h = fut.result() if fut is not None else np.asarray(wires)
         cap = self._chunk_cap
         for row_i, (fi, qp) in enumerate(zip(idxs, qps)):
             w = p_chunk.unpack_wire(wires_h[row_i], self.ph, self.pw, ctu,
@@ -596,10 +615,17 @@ class HomerEncoder:
                                                    force_idr=(k == fi))
                     return "scene"
             cnt = int(w["cnt"][0])
+            nz = None
             with self.prof.probe("chunk.scatter"):
                 if cnt <= cap:
-                    lev_y, lev_u, lev_v = p_chunk.scatter_levels(
+                    res = native_backend.scatter_levels_native(
                         w["idx"], w["vals"], min(cnt, cap), self.ph, self.pw)
+                    if res is not None:
+                        lev_y, lev_u, lev_v, nz = res
+                    else:
+                        lev_y, lev_u, lev_v = p_chunk.scatter_levels(
+                            w["idx"], w["vals"], min(cnt, cap), self.ph,
+                            self.pw)
                 else:                      # capacity overflow: dense fetch
                     self.chunk_overflows += 1
                     d = np.asarray(denses[row_i])
@@ -616,10 +642,11 @@ class HomerEncoder:
             trd_u = np.repeat(np.repeat(w["trd16"], 4, 0), 4, 1)
             intra_u = np.repeat(np.repeat(w["intra16"], 4, 0), 4, 1)
             mv_u = np.repeat(np.repeat(w["mv16"], 4, 0), 4, 1)
-            nz_y = np.any(lev_y.reshape(uh, 4, uw, 4) != 0, axis=(1, 3))
-            nz_u = np.any(lev_u.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
-            nz_v = np.any(lev_v.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
-            nz = nz_y | nz_u | nz_v
+            if nz is None:
+                nz_y = np.any(lev_y.reshape(uh, 4, uw, 4) != 0, axis=(1, 3))
+                nz_u = np.any(lev_u.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
+                nz_v = np.any(lev_v.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
+                nz = nz_y | nz_u | nz_v
             with self.prof.probe("chunk.decisions"):
                 imode_u = np.where(intra_u.astype(bool), mv_u[..., 0], 1)
                 dec = _tree_decisions(depth_u, mv_u, nz, self.ctu_log2, 5,
@@ -785,6 +812,9 @@ class HomerEncoder:
 
     def close(self) -> None:
         self._ref = None
+        if self._fetch_pool is not None:
+            self._fetch_pool.shutdown(wait=False)
+            self._fetch_pool = None
 
     def __enter__(self):
         return self

@@ -928,6 +928,45 @@ struct SliceEnc {
 
 extern "C" {
 
+// Rebuild dense coefficient planes + the per-4x4-unit any-nonzero map from
+// the chunk wire's compacted sub-block list (host twin of p_chunk._to4's
+// flattening: luma blocks first in (H/4 x W/4) raster, then Cb, then Cr
+// 4x4 blocks of the half-res planes). Replaces the numpy scatter + nz
+// reduction on the per-frame host path (~14 ms -> <1 ms at 720p).
+void henc_scatter_levels(const int32_t* idx, const int16_t* vals, int cnt,
+                         int H, int W, int32_t* coeff_y, int32_t* coeff_cb,
+                         int32_t* coeff_cr, uint8_t* nz_u) {
+  int w4 = W >> 2, uw = w4, uh = H >> 2;
+  int ny4 = (H >> 2) * (W >> 2);
+  int w8 = W >> 3;
+  int nc4 = (H >> 3) * (W >> 3);
+  std::memset(coeff_y, 0, sizeof(int32_t) * (size_t)H * W);
+  std::memset(coeff_cb, 0, sizeof(int32_t) * (size_t)(H / 2) * (W / 2));
+  std::memset(coeff_cr, 0, sizeof(int32_t) * (size_t)(H / 2) * (W / 2));
+  std::memset(nz_u, 0, (size_t)uh * uw);
+  for (int i = 0; i < cnt; i++) {
+    int k = idx[i];
+    const int16_t* v = vals + (size_t)i * 16;
+    int32_t* plane;
+    int by, bx, stride;
+    if (k < ny4) {
+      plane = coeff_y; by = k / w4; bx = k % w4; stride = W;
+      nz_u[by * uw + bx] = 1;
+    } else {
+      int j = k - ny4;
+      if (j >= nc4) { j -= nc4; plane = coeff_cr; } else plane = coeff_cb;
+      if (j >= nc4) continue;               // padding sentinel
+      by = j / w8; bx = j % w8; stride = W / 2;
+      int u0 = (by * 2) * uw + bx * 2;
+      nz_u[u0] = nz_u[u0 + 1] = nz_u[u0 + uw] = nz_u[u0 + uw + 1] = 1;
+    }
+    int32_t* dst = plane + (size_t)(by * 4) * stride + bx * 4;
+    for (int r = 0; r < 4; r++, dst += stride, v += 4) {
+      dst[0] = v[0]; dst[1] = v[1]; dst[2] = v[2]; dst[3] = v[3];
+    }
+  }
+}
+
 // RD diagnostics: point the encoder at a N_BIT_CAT-element double array to
 // accumulate exact fractional bits per syntax category (NULL to disable).
 void henc_set_bit_probe(double* p) { g_cat_bits = p; }

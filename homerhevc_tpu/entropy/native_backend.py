@@ -106,6 +106,28 @@ def available() -> bool:
     return _load() is not None
 
 
+def scatter_levels_native(idx: np.ndarray, vals16: np.ndarray, cnt: int,
+                          H: int, W: int):
+    """C++ twin of p_chunk.scatter_levels that additionally returns the
+    per-4x4-unit any-nonzero map (saves the host-side dense-plane nz
+    reduction). Returns (lev_y, lev_u, lev_v, nz_u) or None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    lev_y = np.empty((H, W), np.int32)
+    lev_u = np.empty((H // 2, W // 2), np.int32)
+    lev_v = np.empty((H // 2, W // 2), np.int32)
+    nz = np.empty((H // 4, W // 4), np.uint8)
+    idx = _i32(idx)
+    vals16 = np.ascontiguousarray(vals16, dtype=np.int16)
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.henc_scatter_levels(p(idx), p(vals16), ctypes.c_int(int(cnt)),
+                            ctypes.c_int(H), ctypes.c_int(W),
+                            p(lev_y), p(lev_u), p(lev_v), p(nz))
+    return lev_y, lev_u, lev_v, nz.astype(bool)
+
+
 def derive_tree_decisions_native(depth_u, mv_u, has_resid_u, ctu_log2: int,
                                  max_merge_cand: int = 5,
                                  pred_intra_u=None):
