@@ -83,12 +83,19 @@ def _subpel_list(cur, ryp, ivy, ivx, *, S, lam, search, me_precision):
         costs.append(sad + ((lam * bb) >> 8))
     cost49 = jnp.stack(costs)
 
+    a49 = jnp.arange(49, dtype=I32)[:, None]
+
+    def pick49(i):
+        # one-hot masked reduction instead of take_along_axis (cross-
+        # sublane gathers are ~60x slower on TPU)
+        return jnp.sum(jnp.where(a49 == i[None, :], cost49, 0), axis=0)
+
     def strict_min(center_idx, offsets):
         best_i = center_idx
-        best_c = jnp.take_along_axis(cost49, center_idx[None], axis=0)[0]
+        best_c = pick49(center_idx)
         for off in offsets:
             i = center_idx + off
-            ci = jnp.take_along_axis(cost49, i[None], axis=0)[0]
+            ci = pick49(i)
             better = ci < best_c
             best_c = jnp.where(better, ci, best_c)
             best_i = jnp.where(better, i, best_i)

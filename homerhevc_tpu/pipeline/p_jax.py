@@ -135,7 +135,7 @@ def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
         S *= 2
     cost = g + mvcost_j[:, None, None]
     best_o = jnp.argmin(cost, axis=0).astype(I32)   # (nby, nbx)
-    best_cost = jnp.take_along_axis(cost, best_o[None], axis=0)[0]
+    best_cost = jnp.min(cost, axis=0)               # == cost at best_o
     ivy = best_o // n - search                      # (nby, nbx)
     ivx = best_o % n - search
     return _p_stage_tail(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, best_cost,
@@ -224,12 +224,19 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     sad49 = jnp.stack(sads)                         # (49, nb)
     cost49 = jnp.stack(costs)                       # (49, nb)
 
+    a49 = jnp.arange(49, dtype=I32)[:, None]        # (49, 1)
+
+    def pick49(grid, i):
+        """grid[i[b], b] without take_along_axis (cross-sublane gathers
+        lower ~60x slower than a one-hot masked reduction on TPU)."""
+        return jnp.sum(jnp.where(a49 == i[None, :], grid, 0), axis=0)
+
     def strict_min(center_idx, offsets):
         best_i = center_idx
-        best_c = jnp.take_along_axis(cost49, center_idx[None], axis=0)[0]
+        best_c = pick49(cost49, center_idx)
         for off in offsets:
             i = center_idx + off
-            ci = jnp.take_along_axis(cost49, i[None], axis=0)[0]
+            ci = pick49(cost49, i)
             better = ci < best_c
             best_c = jnp.where(better, ci, best_c)
             best_i = jnp.where(better, i, best_i)
@@ -259,7 +266,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     # golden twin (p_golden) replicates the same order and constants. The
     # host walk then re-derives the exact spec merge list from the FINAL
     # field; a chosen candidate that survives there is coded merge/skip.
-    base_cost = jnp.take_along_axis(cost49, center[None], axis=0)[0]
+    base_cost = pick49(cost49, center)
     BIGC = jnp.int32(1 << 30)
     mvxg = mvx.reshape(nby, nbx)
     mvyg = mvy.reshape(nby, nbx)
@@ -289,7 +296,7 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
             ok = valid
         else:
             j = jnp.clip((dqy + 3) * 7 + (dqx + 3), 0, 48)
-            sad_c = jnp.take_along_axis(sad49, j[None], axis=0)[0]
+            sad_c = pick49(sad49, j)
             ok = ing
         cost_c = jnp.where(ok, sad_c + ((lam * mb) >> 8), BIGC)
         better = cost_c < best_c
@@ -626,29 +633,24 @@ def _me_hier(cur, ry, *, sizes, search, lam):
             lambda yy, xx: jax.lax.dynamic_slice(
                 ry, (yy, xx), (size + 6, size + 6)),
             out_axes=2)(r * size + vy - 3 + PAD, c * size + vx - 3 + PAD)
-        cost_l, ay_l, ax_l = [], [], []
-        di = 0
-        for dy in range(-3, 4):
-            for dx in range(-3, 4):
-                cost_l.append(zc[di])
-                ay_l.append(jnp.full((nb,), dy, I32))
-                ax_l.append(jnp.full((nb,), dx, I32))
-                di += 1
+        cost_l = [zc[di] for di in range(49)]       # zero anchor first
         for dy in range(-3, 4):
             for dx in range(-3, 4):
                 pred = win[dy + 3:dy + 3 + size, dx + 3:dx + 3 + size, :]
                 sad = jnp.abs(blk - pred).astype(I32).sum(axis=(0, 1))
                 bb = mvbits(4 * (vy + dy), 4 * (vx + dx))
                 cost_l.append(sad + ((lam * bb) >> 8))
-                ay_l.append(vy + dy)
-                ax_l.append(vx + dx)
         cost98 = jnp.stack(cost_l)                  # (98, nb), zero first
-        ays = jnp.stack(ay_l)
-        axs = jnp.stack(ax_l)
         j = jnp.argmin(cost98, axis=0).astype(I32)
-        icost = jnp.take_along_axis(cost98, j[None], axis=0)[0]
-        ivy = jnp.take_along_axis(ays, j[None], axis=0)[0].reshape(nby, nbx)
-        ivx = jnp.take_along_axis(axs, j[None], axis=0)[0].reshape(nby, nbx)
+        icost = jnp.min(cost98, axis=0)             # == cost at j
+        # candidate geometry is arithmetic in j (zero anchor for j < 49,
+        # pyramid pick + delta for j >= 49) — no gather needed
+        jj = j % 49
+        dy = jj // 7 - 3
+        dx = jj % 7 - 3
+        is_pyr = j >= 49
+        ivy = jnp.where(is_pyr, vy + dy, dy).reshape(nby, nbx)
+        ivx = jnp.where(is_pyr, vx + dx, dx).reshape(nby, nbx)
         out[size] = (ivy, ivx, icost.reshape(nby, nbx))
     return out
 
@@ -719,7 +721,7 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
         for S in grids:
             cost = grids[S] + mvcost[:, None, None]
             k = jnp.argmin(cost, axis=0).astype(I32)  # first min, dy-major
-            icost = jnp.take_along_axis(cost, k[None], axis=0)[0]
+            icost = jnp.min(cost, axis=0)
             ints[S] = (k // n - search, k % n - search, icost)
 
     enc = {}
@@ -854,17 +856,26 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
             bits = jnp.minimum(tables.level_bits_est(lev, xp=jnp), 16383)
             cost = ssd + (((lamf >> 4) * (bits + 8)) >> 4)
             k = jnp.argmin(cost)
+            oh = jnp.arange(len(MODES), dtype=I32) == k   # one-hot select
+
+            def sel(t):
+                return jnp.sum(
+                    jnp.where(oh.reshape((-1,) + (1,) * (t.ndim - 1)), t, 0),
+                    axis=0)
+
+            cost_k = jnp.min(cost)
+            mode_k = jnp.sum(jnp.where(oh, jnp.asarray(MODES, I32), 0))
+            pred_k = sel(preds)
+            lev_k = sel(lev)
             if sign_hiding:
-                coeff_k = coeff[k]
-                lev_k = quant_ops.sign_bit_hiding(
-                    lev[k], coeff_k, qp_r, 5)
+                lev_k = quant_ops.sign_bit_hiding(lev_k, sel(coeff), qp_r, 5)
                 rr_k = tx_ops.inverse_transform(
                     quant_ops.dequantize(lev_k, qp_r, 5))
                 rr_k = jnp.where(jnp.any(lev_k != 0), rr_k, 0)
-                rec_k = jnp.clip(preds[k] + rr_k, 0, 255)
+                rec_k = jnp.clip(pred_k + rr_k, 0, 255)
             else:
-                lev_k, rec_k = lev[k], rec_[k]
-            return (jnp.asarray(MODES, I32)[k], cost[k], lev_k, rec_k)
+                rec_k = sel(rec_)
+            return (mode_k, cost_k, lev_k, rec_k)
 
         qp_row_v = (qp_rows if qp_rows is not None
                     else jnp.broadcast_to(qp, (nby,)))
