@@ -135,20 +135,35 @@ def predict_all_modes(top, left, corner, ftop, fleft, fcorner, *,
     ref = jnp.zeros((35, npos), i32)
     ref = ref.at[:, n].set(corner_m)
     ref = ref.at[:, n + 1:3 * n + 1].set(main)
-    # negative extension: ref[N + i] for i in [-N..-1]
+    # negative extension: ref[N + i] for i in [-N..-1]. One-hot contraction
+    # instead of take_along_axis (whose TPU gather lowering costs ms-scale
+    # inside the batched pipelines); exact, since the refs are 8-bit pixel
+    # values and every output has exactly one nonzero product.
     i_neg = jnp.arange(-n, 0)
     j = ((i_neg[None, :] * inv_angle[:, None] + 128) >> 8) - 1   # side index
     side_ext = jnp.concatenate([corner_m[:, None], side], axis=1)  # idx -1..2N-1
-    neg_vals = jnp.take_along_axis(side_ext, jnp.clip(j + 1, 0, 2 * n), axis=1)
+    ohn = (jnp.clip(j + 1, 0, 2 * n)[:, :, None]
+           == jnp.arange(2 * n + 1)[None, None, :])
+    neg_vals = jnp.einsum("mit,mt->mi", ohn.astype(jnp.float32),
+                          side_ext.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST).astype(i32)
     use_neg = (angle < 0)[:, None] & jnp.ones((1, n), bool)
     ref = ref.at[:, 0:n].set(jnp.where(use_neg, neg_vals, ref[:, 0:n]))
 
-    # angular prediction in vertical orientation
+    # angular prediction in vertical orientation: row y of mode m is the
+    # contiguous run ref[m, n+1+idx[m,y] : +n+1] (idx in [-n, n], so the
+    # run always lies inside ref) — a shift-stack one-hot matmul on the
+    # MXU instead of a (35, n, n) gather.
     x = jnp.arange(n)
-    g = n + 1 + x[None, None, :] + idx[:, :, None]               # (35, n, n)
-    g = jnp.clip(g, 0, npos - 1)
-    p0 = jnp.take_along_axis(ref[:, None, :], g, axis=2)
-    p1 = jnp.take_along_axis(ref[:, None, :], jnp.clip(g + 1, 0, npos - 1), axis=2)
+    cands = jnp.stack([ref[:, 1 + s:1 + s + n + 1]
+                       for s in range(2 * n + 1)], axis=1)      # (35,2n+1,n+1)
+    ohs = ((idx + n)[:, :, None]
+           == jnp.arange(2 * n + 1)[None, None, :])             # (35, n, 2n+1)
+    sel = jnp.einsum("mys,msx->myx", ohs.astype(jnp.float32),
+                     cands.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST).astype(i32)
+    p0 = sel[:, :, :n]
+    p1 = sel[:, :, 1:]
     f = fact[:, :, None]
     pred = ((32 - f) * p0 + f * p1 + 16) >> 5                    # (35, y, x)
 
@@ -213,16 +228,28 @@ def predict_one_mode(top, left, corner, ftop, fleft, fcorner, m, *,
     i_neg = jnp.arange(-n, 0)
     j = ((i_neg * inv_angle + 128) >> 8) - 1
     side_ext = jnp.concatenate([corner_m[None], side])
-    neg_vals = side_ext[jnp.clip(j + 1, 0, 2 * n)]
+    # one-hot contractions instead of gathers (see predict_all_modes) —
+    # this function is vmapped over whole-frame block batteries where the
+    # TPU gather lowering costs ms-scale per call.
+    ohn = (jnp.clip(j + 1, 0, 2 * n)[:, None]
+           == jnp.arange(2 * n + 1)[None, :])
+    neg_vals = jnp.einsum("it,t->i", ohn.astype(jnp.float32),
+                          side_ext.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST).astype(i32)
     ref = ref.at[0:n].set(jnp.where(angle < 0, neg_vals, ref[0:n]))
 
     x = jnp.arange(n)
     pos = (x + 1) * angle                            # (n,) per-row offsets
     idx = pos >> 5
     fact = pos & 31
-    g = jnp.clip(n + 1 + x[None, :] + idx[:, None], 0, npos - 1)
-    p0 = ref[g]
-    p1 = ref[jnp.clip(g + 1, 0, npos - 1)]
+    cands = jnp.stack([ref[1 + s:1 + s + n + 1]
+                       for s in range(2 * n + 1)])   # (2n+1, n+1)
+    ohs = (idx + n)[:, None] == jnp.arange(2 * n + 1)[None, :]
+    sel = jnp.einsum("ys,sx->yx", ohs.astype(jnp.float32),
+                     cands.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST).astype(i32)
+    p0 = sel[:, :n]
+    p1 = sel[:, 1:]
     f = fact[:, None]
     pred = ((32 - f) * p0 + f * p1 + 16) >> 5
 

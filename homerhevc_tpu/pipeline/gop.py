@@ -103,7 +103,9 @@ def encode_ippp(frames, *, qp: int, ctu_log2: int = 5, width=None, height=None,
                     split_rdo=intra_split_rdo)
                 maps = native_backend.maps_from_intra_units(
                     out["mode_units"], out["depth_units"], out["lev_y"],
-                    out["lev_u"], out["lev_v"])
+                    out["lev_u"], out["lev_v"],
+                    part_units=(out.get("part_units")
+                                if intra_split_rdo else None))
                 if deblocking:
                     ref_dev = p_jax.deblock_intra_device(
                         out["recon_y"], out["recon_u"], out["recon_v"],

@@ -77,6 +77,69 @@ def _pallas_ok() -> bool:
     return _PALLAS_STATE["ok"]
 
 
+def _gather_win(plane, by, bx, *, nby, nbx, G, S_row, lo, band_h):
+    """(G, G, nb) per-block windows from a padded plane at absolute
+    top-left (by[b], bx[b]), with by[b] - (i*S_row + lo) in
+    [0, band_h - G] for a block in block-row i (and the same bound for
+    bx against column j — the ME search range).
+
+    On TPU the natural vmap(dynamic_slice) lowers to a while loop of one
+    tiny slice per block (~4.7 ms/frame per site at 720p, measured; a
+    Pallas band kernel still pays ~0.8 us/block in loop+load overhead),
+    so there it is computed as dense one-hot contractions on the MXU: a
+    scan over block rows slices the row band, builds the nbx overlapping
+    column strips with static phase slices, and two one-hot matmuls
+    (row select, then column select) produce every block's window. The
+    one-hot operands and the 8-bit pixel values are exact in bf16, and
+    each output has exactly one nonzero product, so the result is exact
+    integer arithmetic at MXU speed."""
+    if (lo < 0 or jax.default_backend() != "tpu"
+            or os.environ.get("HOMERHEVC_GATHER") == "xla"):
+        return jax.vmap(
+            lambda yy, xx: jax.lax.dynamic_slice(plane, (yy, xx), (G, G)),
+            out_axes=2)(by, bx)
+    S = S_row
+    L = band_h
+    Hp, Wp = plane.shape
+    P = -(-L // S)                                 # col strip phase count
+    need = lo + (P - 1) * S + nbx * S
+    if need > Wp:
+        plane = jnp.pad(plane, ((0, 0), (0, need - Wp)))
+    bf = jnp.bfloat16
+    arG = jnp.arange(G, dtype=I32)
+    arL = jnp.arange(L, dtype=I32)
+    arPS = jnp.arange(P * S, dtype=I32)
+
+    def row(carry, xs):
+        i, by_r, bx_r = xs
+        # clamp like dynamic_slice does, and offset the row one-hots
+        # against the CLAMPED start (the bottom block row's band can run
+        # past the plane when PAD < lo + L - S*(nby-1))
+        start = jnp.minimum(i * S + lo, Hp - L)
+        band = jax.lax.dynamic_slice(plane, (start, 0),
+                                     (L, plane.shape[1]))
+        strips = jnp.stack([
+            band[:, lo + p * S: lo + p * S + nbx * S].reshape(L, nbx, S)
+            for p in range(P)])                    # (P, L, nbx, S)
+        strips = strips.transpose(2, 1, 0, 3).reshape(nbx, L, P * S)
+        dxl = bx_r[:, None, None] + arG[None, :, None] - lo
+        dxl = dxl - (jnp.arange(nbx, dtype=I32) * S)[:, None, None]
+        ohy = ((by_r[:, None, None] - start + arG[None, :, None])
+               == arL[None, None, :]).astype(bf)   # (nbx, G, L)
+        ohx = (dxl == arPS[None, None, :]).astype(bf)  # (nbx, G, P*S)
+        sel1 = jnp.einsum("bgh,bhw->bgw", ohy, strips.astype(bf),
+                          preferred_element_type=jnp.float32)
+        win = jnp.einsum("bgw,bxw->bgx", sel1.astype(bf), ohx,
+                         preferred_element_type=jnp.float32)
+        return carry, win.astype(jnp.int16)        # (nbx, G, G)
+
+    _, wins = jax.lax.scan(
+        row, None,
+        (jnp.arange(nby, dtype=I32), by.reshape(nby, nbx),
+         bx.reshape(nby, nbx)))
+    return wins.reshape(nby * nbx, G, G).transpose(1, 2, 0)
+
+
 def _p_stage(y_pad, u_pad, v_pad, ry, ru, rv, *, B: int, qp,
              search: int, me_precision: int, sign_hiding: bool = False):
     """Core frame-batched P stage over PAD-pre-padded reference planes.
@@ -181,9 +244,11 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     vx = ivx.reshape(-1).astype(I32)
 
     # ---- per-block (S+9, S+9) luma support windows -> (S+9, S+9, nb) ----
-    win = jax.vmap(
-        lambda yy, xx: jax.lax.dynamic_slice(ry, (yy, xx), (S + 9, S + 9)),
-        out_axes=2)(r * S + vy - 4 + PAD, c * S + vx - 4 + PAD).astype(I32)
+    mo = search + 7                                 # |vy - 4| bound (+-3 qpel
+    win = _gather_win(                              # refine over the int MV)
+        ry, r * S + vy - 4 + PAD, c * S + vx - 4 + PAD,
+        nby=nby, nbx=nbx, G=S + 9, S_row=S, lo=PAD - mo,
+        band_h=2 * mo + S + 9).astype(I32)
 
     def filt_h(b, taps, w_out):
         acc = taps[0] * b[:, 0:w_out, :]
@@ -330,11 +395,12 @@ def _level_encode(cur, u_pad, v_pad, ry, ru, rv, ivy, ivx, *, S, qp, qp_c,
     coefx = ctab[mvx & 7].T                         # (4, nb)
     coefy = ctab[mvy & 7].T
 
+    moc = search // 2 + 3                           # |mvy>>3| bound (+ the -1)
+
     def chroma_pred(refp, base_y, base_x):
-        wc = jax.vmap(
-            lambda yy, xx: jax.lax.dynamic_slice(refp, (yy, xx),
-                                                 (S2 + 3, S2 + 3)),
-            out_axes=2)(base_y, base_x).astype(I32)  # (S2+3, S2+3, nb)
+        wc = _gather_win(refp, base_y, base_x, nby=nby, nbx=nbx,
+                         G=S2 + 3, S_row=S2, lo=PAD // 2 - moc,
+                         band_h=2 * moc + S2 + 3).astype(I32)
         hs = sum(coefx[k][None, None, :] * wc[:, k:k + S2, :]
                  for k in range(4))                 # (S2+3, S2, nb)
         vv = sum(coefy[k][None, None, :] * hs[k:k + S2, :, :]
@@ -629,10 +695,10 @@ def _me_hier(cur, ry, *, sizes, search, lam):
         # pyramid-pick refine: ONE per-block window gather for this size
         blk = (cur16.reshape(nby, size, nbx, size).transpose(1, 3, 0, 2)
                .reshape(size, size, nb))
-        win = jax.vmap(
-            lambda yy, xx: jax.lax.dynamic_slice(
-                ry, (yy, xx), (size + 6, size + 6)),
-            out_axes=2)(r * size + vy - 3 + PAD, c * size + vx - 3 + PAD)
+        win = _gather_win(
+            ry, r * size + vy - 3 + PAD, c * size + vx - 3 + PAD,
+            nby=nby, nbx=nbx, G=size + 6, S_row=size,
+            lo=PAD - search - 3, band_h=2 * (search + 3) + size + 6)
         cost_l = [zc[di] for di in range(49)]       # zero anchor first
         for dy in range(-3, 4):
             for dx in range(-3, 4):
@@ -835,15 +901,31 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
         blocks = cur.reshape(nby, 32, nbx, 32).transpose(0, 2, 1, 3)
 
         def one(o, t, l, co, h_l, h_t, qp_r):
-            # Mode battery WITHOUT sign hiding (SBH is a final-coding
-            # nicety whose +-1 flip never changes the mode ranking in
-            # practice; running it per candidate cost ~11 frame-equivalents
-            # of SBH work per P frame) — the WINNING mode is then re-coded
-            # with SBH so the emitted stream stays SBH-consistent.
+            # Two-stage mode decision (role of the reference's loop1 SAD
+            # search -> loop2 full RD, hmr_motion_intra.c:1084/:1229):
+            # stage 1 ranks the 11-mode battery by SAD (prediction only —
+            # no transform work), stage 2 full-codes ONLY the top 2, then
+            # the winner is re-coded with SBH. Full-coding all 11 measured
+            # ~16 ms/frame of the 720p chunk body; 2 candidates keep the
+            # pick in practice (SAD ranking and RD ranking of intra modes
+            # agree except between near-tied neighbors).
             refs = intra_ops.prepare_refs(t, l, co, h_l, h_t, size=32,
                                           c_idx=0, strong_smoothing=True)
-            preds = intra_ops.predict_all_modes(*refs, size=32, c_idx=0)
-            preds = preds[jnp.asarray(MODES)]
+            preds11 = intra_ops.predict_all_modes(*refs, size=32, c_idx=0)
+            preds11 = preds11[jnp.asarray(MODES)]
+            sad11 = jnp.abs(o[None] - preds11).sum(axis=(-1, -2))
+            nm = len(MODES)
+            am = jnp.arange(nm, dtype=I32)
+            k1 = jnp.argmin(sad11).astype(I32)
+            sad_2 = jnp.where(am == k1, jnp.int32(1 << 30), sad11)
+            k2 = jnp.argmin(sad_2).astype(I32)
+
+            def gath(k):
+                oh = (am == k).reshape(nm, 1, 1)
+                return jnp.sum(jnp.where(oh, preds11, 0), axis=0)
+
+            preds = jnp.stack([gath(k1), gath(k2)])       # (2, 32, 32)
+            mode_c = jnp.stack([k1, k2])
             resid = o[None] - preds
             coeff = tx_ops.forward_transform(resid)
             lev = quant_ops.quantize(coeff, qp_r, 5, is_intra=True)
@@ -856,7 +938,7 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
             bits = jnp.minimum(tables.level_bits_est(lev, xp=jnp), 16383)
             cost = ssd + (((lamf >> 4) * (bits + 8)) >> 4)
             k = jnp.argmin(cost)
-            oh = jnp.arange(len(MODES), dtype=I32) == k   # one-hot select
+            oh = jnp.arange(2, dtype=I32) == k            # one-hot select
 
             def sel(t):
                 return jnp.sum(
@@ -864,7 +946,8 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
                     axis=0)
 
             cost_k = jnp.min(cost)
-            mode_k = jnp.sum(jnp.where(oh, jnp.asarray(MODES, I32), 0))
+            mode_k = jnp.asarray(MODES, I32)[
+                jnp.sum(jnp.where(oh, mode_c, 0))]
             pred_k = sel(preds)
             lev_k = sel(lev)
             if sign_hiding:
