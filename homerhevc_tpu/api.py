@@ -159,6 +159,22 @@ class HomerEncoder:
                 max_workers=1, thread_name_prefix="homer-fetch")
 
     # ------------------------------------------------------------------
+    def seed_reference(self, ref_planes, *, poc: int) -> None:
+        """Continue a P chain started elsewhere: install reconstructed
+        reference planes (padded Y/U/V uint8) + the next POC. The
+        multi-host GOP pipeline uses this when a span's reference was
+        produced by another process (role of the reference's cross-engine
+        reconstruction-window handoff, hmr_encoder_lib.c:3179-3189)."""
+        ry, ru, rv = (np.asarray(p, np.uint8) for p in ref_planes)
+        assert ry.shape == (self.ph, self.pw), "seed ref must be padded"
+        if self.backend == "jax":
+            import jax
+            self._ref = tuple(jax.device_put(p) for p in (ry, ru, rv))
+        else:
+            self._ref = (ry, ru, rv)
+        self.poc = int(poc)
+
+    # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      *, force_idr: bool = False) -> bytes:
         c = self.cfg
@@ -310,7 +326,7 @@ class HomerEncoder:
             key = "ref" if deblk else "recon"
             self._ref = (out[key + "_y"], out[key + "_u"], out[key + "_v"])
             with self.prof.probe("sao"):
-                sao_info = self._maybe_sao(yp, up, vp, qp)
+                sao_info = self._maybe_sao(yp, up, vp, qp, slice_p=True)
             with self.prof.probe("entropy"):
                 au = assemble.assemble_p_au_from_maps(
                     self.params, maps, poc=self.poc - self.last_idr,
@@ -742,7 +758,7 @@ class HomerEncoder:
         key = "ref" if deblk else "recon"
         self._ref = (out[key + "_y"], out[key + "_u"], out[key + "_v"])
         with self.prof.probe("sao"):
-            sao_info = self._maybe_sao(yp, up, vp, qp)
+            sao_info = self._maybe_sao(yp, up, vp, qp, slice_p=True)
         with self.prof.probe("entropy"):
             return assemble.assemble_p_au_from_maps(
                 self.params, maps, poc=self.poc - self.last_idr,
@@ -783,7 +799,7 @@ class HomerEncoder:
             self._ref = gop_mod._deblock_inter(pplan.recon, qp, h, w,
                                                min(size, 32), pplan.field,
                                                pplan.cbf_y_unit, c.deblocking)
-            sao_info = self._maybe_sao(yp, up, vp, qp)
+            sao_info = self._maybe_sao(yp, up, vp, qp, slice_p=True)
             au = assemble.assemble_p_au(self.params, pplan.ctu_plans,
                                         poc=self.poc - self.last_idr,
                                         slice_qp=qp, sao_info=sao_info)
@@ -791,7 +807,7 @@ class HomerEncoder:
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
-    def _maybe_sao(self, yp, up, vp, qp):
+    def _maybe_sao(self, yp, up, vp, qp, slice_p=False):
         # SAO stage on the loop-filtered reference; updates self._ref to the
         # SAO output (the decoder-side reference picture).
         if not self.cfg.sample_adaptive_offset:
@@ -802,7 +818,7 @@ class HomerEncoder:
         if self.backend == "jax":
             from .ops.sao import sao_stage_device
             info, filt = sao_stage_device(self._cur_dev, self._ref, size,
-                                          qp, qp_c)
+                                          qp, qp_c, slice_p=slice_p)
             self._ref = filt              # stays on device
         else:
             from .ops.sao import sao_stage

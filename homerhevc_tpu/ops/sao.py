@@ -211,18 +211,25 @@ def _eval_params_cost(stats, par, xp):
     return xp.where(typ == 2, d_eo, xp.where(typ == 1, d_bo, 0))
 
 
-def derive_all_from_stats(st_y, st_cb, st_cr, qp: int, qp_c: int, xp=np):
+def derive_all_from_stats(st_y, st_cb, st_cr, qp: int, qp_c: int, xp=np,
+                          slice_p: bool = False):
     """Full SAO parameter derivation from per-CTU stat tensors for all three
     components (luma independent; chroma type/EO-class shared, spec 7.3.8.3)
     + equality-based merge flags. xp-generic: runs on host over fetched
     stats or fully on device inside the frame jit. Returns
-    (luma, cb, cr, merge_left, merge_up)."""
+    (luma, cb, cr, merge_left, merge_up).
+
+    slice_p selects the P-slice RD lambda (the reference prices SAO with
+    the slice lambda, hmr_tables.c:372 sao_lambdas[0] = lambda — using the
+    I-slice table on P frames underpriced offsets ~2x and SAO grew to ~20%
+    of P bits)."""
     from .. import tables
+    fx = tables.LAMBDA_FX_P if slice_p else tables.LAMBDA_FX
     if xp is np:
-        lam_y = int(tables.LAMBDA_FX[min(qp, 51)])
-        lam_c = int(tables.LAMBDA_FX[min(qp_c, 51)])
+        lam_y = int(fx[min(qp, 51)])
+        lam_c = int(fx[min(qp_c, 51)])
     else:                                 # traced qp inside the frame jit
-        lt = xp.asarray(tables.LAMBDA_FX)
+        lt = xp.asarray(fx)
         lam_y = lt[xp.minimum(qp, 51)]
         lam_c = lt[xp.minimum(qp_c, 51)]
     ccy = _component_costs_from_stats(*st_y, lam_y, xp=xp)
@@ -514,7 +521,7 @@ _SAO_APPLY_JIT = None
 
 
 def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
-                     qp_c: int):
+                     qp_c: int, slice_p: bool = False):
     """Device-accelerated SAO stage: stats + application run on device
     (whole-frame reductions/selects); only the tiny per-CTU stat tensors and
     the chosen params cross the host boundary. Returns
@@ -538,7 +545,8 @@ def sao_stage_device(orig_planes_dev, dbk_planes_dev, ctu: int, qp: int,
         st.append(flat[o:o + 32]); o += 32
         st.append(flat[o:o + 32]); o += 32
     luma, cbp, crp, ml, mu = derive_all_from_stats(
-        tuple(st[0:4]), tuple(st[4:8]), tuple(st[8:12]), qp, qp_c, xp=np)
+        tuple(st[0:4]), tuple(st[4:8]), tuple(st[8:12]), qp, qp_c, xp=np,
+        slice_p=slice_p)
 
     def pk(par):
         return np.concatenate([par["type"][..., None],

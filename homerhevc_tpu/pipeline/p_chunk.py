@@ -135,7 +135,7 @@ def _sao_device(cur, rec, ctu: int, qp: int, qp_c: int):
     st_cb = sao_ops._stats_device_one(u, ru, ctu // 2, jnp)
     st_cr = sao_ops._stats_device_one(v, rv, ctu // 2, jnp)
     luma, cbp, crp, ml, mu = sao_ops.derive_all_from_stats(
-        st_y, st_cb, st_cr, qp, qp_c, xp=jnp)
+        st_y, st_cb, st_cr, qp, qp_c, xp=jnp, slice_p=True)
 
     def apply_one(rec_p, par, c):
         return sao_ops.apply_sao(rec_p, par, c, xp=jnp).astype(jnp.uint8)

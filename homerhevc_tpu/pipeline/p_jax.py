@@ -967,14 +967,31 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
         # flat batch is ~2 ms)
         nb_all = nby * nbx
         qp_blk = jnp.broadcast_to(qp_row_v[:, None], (nby, nbx)).reshape(-1)
-        im, icst, ilev, irec = jax.vmap(one)(
-            blocks.reshape(nb_all, 32, 32), topv.reshape(nb_all, -1),
-            leftv.reshape(nb_all, -1), cornr.reshape(-1),
-            hl.reshape(-1), ht.reshape(-1), qp_blk)
-        im = im.reshape(nby, nbx)
-        icst = icst.reshape(nby, nbx)
-        ilev = ilev.reshape(nby, nbx, 32, 32)
-        irec = irec.reshape(nby, nbx, 32, 32)
+        # Worst-N gating (role of the reference's per-CU intra-test gating
+        # by perf mode / CU size / SAD, hmr_motion_inter.c:4005-4034): run
+        # the intra battery only on the N CTUs with the worst inter RD cost
+        # — intra can only win where inter is poor. Full-frame batteries
+        # measured ~11.5 ms/frame of the 720p chunk body; N=128 of 920
+        # covers every occlusion/scene-content case seen in practice while
+        # cutting the battery cost ~7x. lax.top_k is stable (ties keep the
+        # lower index) so the stream stays deterministic.
+        n_sel = min(nb_all, max(128, nb_all // 8))
+        _, sel_idx = jax.lax.top_k(c32eff.reshape(-1), n_sel)
+        gsel = lambda a: jnp.take(a, sel_idx, axis=0)
+        im_s, icst_s, ilev_s, irec_s = jax.vmap(one)(
+            gsel(blocks.reshape(nb_all, 32, 32)),
+            gsel(topv.reshape(nb_all, -1)),
+            gsel(leftv.reshape(nb_all, -1)), gsel(cornr.reshape(-1)),
+            gsel(hl.reshape(-1)), gsel(ht.reshape(-1)), gsel(qp_blk))
+        BIGI = jnp.int32(1 << 30)
+        im = jnp.zeros((nb_all,), I32).at[sel_idx].set(im_s).reshape(
+            nby, nbx)
+        icst = jnp.full((nb_all,), BIGI, I32).at[sel_idx].set(
+            icst_s).reshape(nby, nbx)
+        ilev = jnp.zeros((nb_all, 32, 32), ilev_s.dtype).at[sel_idx].set(
+            ilev_s).reshape(nby, nbx, 32, 32)
+        irec = jnp.zeros((nb_all, 32, 32), irec_s.dtype).at[sel_idx].set(
+            irec_s).reshape(nby, nbx, 32, 32)
 
         cand = icst < c32eff
         # 4-color cascade: color k accepts only if no earlier-color accept
@@ -1019,12 +1036,16 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
                         jnp.maximum(cc[None] * 16 - 1, 0)]
             blkc = (plane_c.astype(I32).reshape(nby, 16, nbx, 16)
                     .transpose(0, 2, 1, 3))
-            lvc, rcc = jax.vmap(chroma_one)(
-                blkc.reshape(nb_all, 16, 16), topc.reshape(nb_all, -1),
-                leftc.reshape(nb_all, -1), corc.reshape(-1),
-                hl.reshape(-1), ht.reshape(-1), im.reshape(-1), qp_blk)
-            lvc = lvc.reshape(nby, nbx, 16, 16)
-            rcc = rcc.reshape(nby, nbx, 16, 16)
+            lvc_s, rcc_s = jax.vmap(chroma_one)(
+                gsel(blkc.reshape(nb_all, 16, 16)),
+                gsel(topc.reshape(nb_all, -1)),
+                gsel(leftc.reshape(nb_all, -1)), gsel(corc.reshape(-1)),
+                gsel(hl.reshape(-1)), gsel(ht.reshape(-1)),
+                gsel(im.reshape(-1)), gsel(qp_blk))
+            lvc = jnp.zeros((nb_all, 16, 16), lvc_s.dtype).at[sel_idx].set(
+                lvc_s).reshape(nby, nbx, 16, 16)
+            rcc = jnp.zeros((nb_all, 16, 16), rcc_s.dtype).at[sel_idx].set(
+                rcc_s).reshape(nby, nbx, 16, 16)
             outs_c.append((lvc, rcc))
 
         # ---- substitution of accepted CTUs ----

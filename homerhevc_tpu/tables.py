@@ -199,21 +199,53 @@ def chroma_qp_from_luma(qp_i, xp=np):
     return out
 
 
+# Structure-aware TB bit-cost constants (calibrated against the native
+# CABAC bit probe on 720p IPPP content; see tools/rd_calib.py). The old
+# flat 3-bits-per-nonzero proxy ignored WHERE coefficients sit: a lone
+# level-1 deep in a 32x32 TB really costs last_sig_xy + a run of
+# coded_sub_block_flags + 16 sig bins (~40-90 bits), which made rd_zero
+# keep scattered one-coefficient TBs that the reference's counter-priced
+# RD (hmr_binary_encoding.c:306-551) rejects — measured 52% of our P bits
+# were significance flags before this term existed.
+TB_BITS_PER_SUBBLOCK = 14     # csbf + ~16 part-adapted sig bins
+TB_BITS_PER_SB_DIST = 6       # csbf run + last_sig_xy growth per diagonal
+TB_BITS_OVERHEAD = 16         # cbf + last_sig_xy base
+
+
 def level_bits_est(levels, xp=np, axes=(-1, -2)):
-    """Integer CABAC-bit estimate for a quantized TB: ~3 bits per nonzero
-    plus ~2 bits per magnitude doubling, + 16 overhead (role of the
+    """Integer CABAC-bit estimate for a quantized TB (role of the
     reference's EE/EC counter duality for RD costing,
     hmr_binary_encoding.c:306-551 — a closed-form proxy instead of running
-    the context counter per candidate).
+    the context counter per candidate):
 
-    Pure integer (14 shift-compares), so numpy and JAX agree bit-exactly.
+      3*nonzeros + 2*magnitude-doublings          (level/sign/gt1 bins)
+      + 10 per coded 4x4 subblock                 (csbf + sig-flag bins)
+      + 5 * diagonal of the furthest coded subblock (csbf run + last_xy)
+      + 16                                        (cbf + last_xy base)
+
+    Pure integer, so numpy (golden twins) and JAX agree bit-exactly.
+    Requires the TB on the last two axes (axes must be (-1, -2)).
     """
+    assert tuple(axes) == (-1, -2)
     a = xp.abs(levels)
     nz = (a > 0).astype(xp.int32)
     bl = xp.zeros_like(nz)
     for k in range(1, 15):
         bl = bl + ((a >> k) > 0).astype(xp.int32)
-    return (3 * nz + 2 * bl).sum(axis=axes) + 16
+    base = (3 * nz + 2 * bl).sum(axis=axes)
+    n_r, n_c = levels.shape[-2], levels.shape[-1]
+    if n_r >= 8 and n_c >= 8:
+        tiles = nz.reshape(nz.shape[:-2] + (n_r // 4, 4, n_c // 4, 4))
+        csb = (tiles.sum(axis=(-3, -1)) > 0).astype(xp.int32)
+        n_sb = csb.sum(axis=axes)
+        di = np.arange(n_r // 4, dtype=np.int32)[:, None]
+        dj = np.arange(n_c // 4, dtype=np.int32)[None, :]
+        diag = xp.asarray(di + dj)
+        dist = (csb * diag).max(axis=axes)
+        sb_bits = TB_BITS_PER_SUBBLOCK * n_sb + TB_BITS_PER_SB_DIST * dist
+    else:
+        sb_bits = 0
+    return base + sb_bits + TB_BITS_OVERHEAD
 
 
 # RD lambda (HM formula 0.57 * 2^((qp-12)/3)) in x256 fixed point, and its
