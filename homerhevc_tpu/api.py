@@ -601,7 +601,10 @@ class HomerEncoder:
         # fetch, counted in chunk_overflows). The wire fetch rides a
         # ~25 MB/s tunnel in this deployment, so idx+vals dominate its cost.
         L4 = (self.ph // 4) * (self.pw // 4) * 3 // 2
-        return max(1024, L4 // 32)
+        # 1/64 after the structure-aware RD costs (bench P frames code
+        # ~300-600 sub-blocks; the cap'd vals buffer was 86% of the wire
+        # and the tunnel serializes transfers with compute)
+        return max(1024, L4 // 64)
 
     def _finish_chunk(self, pending, aus, frames):
         """Fetch + host-process one dispatched chunk. Returns None, or

@@ -41,33 +41,10 @@ print("OK", pid, sum(len(a) for a in aus))
 """
 
 
-@pytest.mark.slow
 def test_two_process_pipeline_byte_identical(tmp_path):
-    out = str(tmp_path / "mh_")
-    script = WORKER % dict(repo=os.path.abspath(REPO), out=out)
-    sp = str(tmp_path / "worker.py")
-    with open(sp, "w") as f:
-        f.write(script)
-    port = "12437"
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    procs = [subprocess.Popen([sys.executable, sp, str(i), "2", port],
-                              env=env, stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
-             for i in range(2)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, o[-4000:]
-
-    # both processes produced the complete stitched stream
-    with open(out + "0", "rb") as f:
-        s0 = f.read()
-    with open(out + "1", "rb") as f:
-        s1 = f.read()
-    assert s0 == s1 and len(s0) > 0
-
-    # single-process golden: same frames through one encoder
+    # single-process golden FIRST: fills the shared compile cache so the
+    # two workers run in near-lockstep (a cold worker pair can skew past
+    # the distributed runtime's shutdown-barrier timeout)
     from homerhevc_tpu.api import HomerEncoder
     from homerhevc_tpu.config import EncoderConfig
     from homerhevc_tpu.utils.synth import synth_clip
@@ -77,4 +54,29 @@ def test_two_process_pipeline_byte_identical(tmp_path):
                         sample_adaptive_offset=True)
     enc = HomerEncoder(cfg, backend="jax", fetch_recon=False)
     golden = b"".join(enc.encode_frame(*f) for f in frames)
+
+    out = str(tmp_path / "mh_")
+    script = WORKER % dict(repo=os.path.abspath(REPO), out=out)
+    sp = str(tmp_path / "worker.py")
+    with open(sp, "w") as f:
+        f.write(script)
+    port = "12437"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    procs = [subprocess.Popen([sys.executable, "-u", sp, str(i), "2", port],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-4000:]
+
+    # both processes produced the complete stitched stream, equal to the
+    # single-process encode
+    with open(out + "0", "rb") as f:
+        s0 = f.read()
+    with open(out + "1", "rb") as f:
+        s1 = f.read()
+    assert s0 == s1 and len(s0) > 0
     assert s0 == golden

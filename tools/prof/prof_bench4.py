@@ -18,14 +18,15 @@ def main():
     from homerhevc_tpu.utils.synth import synth_clip
 
     W, H, QP = 1280, 720, 32
-    CHUNK = 8
+    CHUNK = int(os.environ.get("B4_CHUNK", "8"))
+    DEPTH = int(os.environ.get("B4_DEPTH", "2"))
     N_WARM, N_BENCH = 1 + CHUNK, 4 * CHUNK
     frames = list(synth_clip(W, H, N_WARM + N_BENCH, seed=0))
 
     cfg = EncoderConfig(width=W, height=H, qp=QP, cu_size=32,
                         intra_period=100, sign_hiding=True,
                         sample_adaptive_offset=True, deblocking=True,
-                        me_search_range=64, frame_pipeline_depth=2,
+                        me_search_range=64, frame_pipeline_depth=DEPTH,
                         performance_mode=PerformanceMode.FAST_COMPUTATION)
     prof = Profiler()
     enc = HomerEncoder(cfg, backend="jax", fetch_recon=False, profiler=prof)
