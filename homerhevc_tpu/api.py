@@ -159,20 +159,33 @@ class HomerEncoder:
                 max_workers=1, thread_name_prefix="homer-fetch")
 
     # ------------------------------------------------------------------
-    def seed_reference(self, ref_planes, *, poc: int) -> None:
+    def seed_reference(self, ref_planes, *, poc: int,
+                       last_idr: int | None = None) -> None:
         """Continue a P chain started elsewhere: install reconstructed
         reference planes (padded Y/U/V uint8) + the next POC. The
         multi-host GOP pipeline uses this when a span's reference was
         produced by another process (role of the reference's cross-engine
-        reconstruction-window handoff, hmr_encoder_lib.c:3179-3189)."""
+        reconstruction-window handoff, hmr_encoder_lib.c:3179-3189).
+        `last_idr` carries the IDR anchor so slice POCs and the
+        intra-period cadence stay identical to a single-process encode."""
         ry, ru, rv = (np.asarray(p, np.uint8) for p in ref_planes)
         assert ry.shape == (self.ph, self.pw), "seed ref must be padded"
+        assert ru.shape == rv.shape == (self.ph // 2, self.pw // 2), \
+            "seed ref chroma planes must be padded to (ph/2, pw/2)"
         if self.backend == "jax":
             import jax
             self._ref = tuple(jax.device_put(p) for p in (ry, ru, rv))
         else:
             self._ref = (ry, ru, rv)
         self.poc = int(poc)
+        if last_idr is not None:
+            self.last_idr = int(last_idr)
+        elif self.cfg.intra_period > 0:
+            # without an explicit anchor, only span-aligned cadences are
+            # safe — reject configs that would silently diverge
+            assert self.poc % self.cfg.intra_period == 0, \
+                "seed_reference needs last_idr when poc is not a multiple " \
+                "of intra_period"
 
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,

@@ -92,43 +92,56 @@ class GopPipeline:
         spans = [(s, min(n, s + self.span)) for s in range(0, n, self.span)]
         aus_by_frame: dict[int, bytes] = {}
         ref = None
+        last_idr = 0
         for si, (a, b) in enumerate(spans):
             owner = si % self.nproc
             if si > 0:
                 prev_owner = (si - 1) % self.nproc
                 send = ref if (self.pid == prev_owner and ref is not None) \
                     else [np.zeros(s, np.uint8) for s in self._ref_shapes()]
-                ref = _bcast_from(send, prev_owner)
+                # the IDR anchor travels with the planes so slice POC and
+                # intra-period cadence match the single-process stream
+                send = send + [np.array([last_idr], np.int32)]
+                *ref, anchor = _bcast_from(send, prev_owner)
+                last_idr = int(anchor[0])
             if self.pid == owner:
                 enc = HomerEncoder(self.cfg, backend=self.backend,
                                    fetch_recon=False)
                 if si > 0:
-                    enc.seed_reference(ref, poc=a)
+                    enc.seed_reference(ref, poc=a, last_idr=last_idr)
                 for k in range(a, b):
                     y, u, v = frames[k]
                     aus_by_frame[k] = enc.encode_frame(y, u, v)
                 ref = [np.asarray(p) for p in enc._ref]
+                last_idr = enc.last_idr
             elif si == 0:
                 ref = None
         return self._gather_aus(aus_by_frame, spans, n)
 
     def _gather_aus(self, aus_by_frame, spans, n):
+        # One length-vector collective + one 4 KiB-bucketed payload
+        # collective PER SPAN (not per frame): spans are the natural unit
+        # and each _bcast_from is a cross-host barrier of DCN latency.
         out = [None] * n
         for si, (a, b) in enumerate(spans):
             owner = si % self.nproc
+            if self.pid == owner:
+                raws = [np.frombuffer(aus_by_frame[k], np.uint8)
+                        for k in range(a, b)]
+                lens = np.array([len(r) for r in raws], np.int32)
+            else:
+                raws = None
+                lens = np.zeros(b - a, np.int32)
+            (lens,) = _bcast_from([lens], owner)
+            total = int(lens.sum())
+            nbk = -(-max(total, 1) // 4096) * 4096
+            buf = np.zeros((nbk,), np.uint8)
+            if raws is not None:
+                buf[:total] = np.concatenate(raws) if raws else buf[:0]
+            (buf,) = _bcast_from([buf], owner)
+            off = 0
             for k in range(a, b):
-                # fixed 4 KiB buckets keep the collective shapes (and so
-                # the compiled psum programs) frame-independent
-                if self.pid == owner:
-                    raw = np.frombuffer(aus_by_frame[k], np.uint8)
-                    lng = np.array([len(raw)], np.int32)
-                else:
-                    raw, lng = None, np.array([0], np.int32)
-                (lng,) = _bcast_from([lng], owner)
-                nbk = -(-max(int(lng[0]), 1) // 4096) * 4096
-                buf = np.zeros((nbk,), np.uint8)
-                if raw is not None:
-                    buf[:len(raw)] = raw
-                (buf,) = _bcast_from([buf], owner)
-                out[k] = buf[:int(lng[0])].tobytes()
+                ln = int(lens[k - a])
+                out[k] = buf[off:off + ln].tobytes()
+                off += ln
         return out

@@ -32,6 +32,8 @@ class RateControl:
         self._i_excess = 0.0
         self._target_last = self.avg
         self._is_idr_last = False
+        self._repay_last = 0.0
+        self._anchor_qp = None
 
     # ---------------------------------------------------------- per frame
     def frame_target(self, is_idr: bool, is_b: bool = False) -> float:
@@ -45,8 +47,13 @@ class RateControl:
             return max(t, self.avg)
         if is_b:
             return max(self.avg * 0.5, self.avg * 0.1)
-        # P frames repay the I-frame excess over the GOP
-        repay = self._i_excess / max(self.intra_period - 1, 1)
+        # P frames repay the I-frame excess over the GOP; with no periodic
+        # I (intra_period<=1, e.g. scene-cut IDRs only) amortize over ~1 s
+        # of frames instead of dumping it all on the next frame
+        n_amort = (self.intra_period - 1 if self.intra_period > 1
+                   else max(int(round(self.fps)), 1))
+        repay = min(self._i_excess / n_amort, 0.75 * self.avg)
+        self._repay_last = repay
         t = (self.avg * 1.5 if self.gop_size >= 2 else self.avg) - repay
         return max(t, self.avg * 0.1)
 
@@ -74,8 +81,15 @@ class RateControl:
         if is_idr:
             qp -= 2      # I frames coded finer (reference I/P QP compensation)
         if is_b:
-            qp += 2      # non-reference B frames coded coarser
-        return int(round(max(0, min(51, qp))))
+            # non-reference B: +2 relative to the ANCHOR it references (the
+            # base QP may have moved since the anchor was coded; pinning to
+            # the anchor keeps the hierarchy ordering even mid-adaptation)
+            qp = self._anchor_qp + 2 if self._anchor_qp is not None \
+                else qp + 2
+        out = int(round(max(0, min(51, qp))))
+        if not is_b:
+            self._anchor_qp = out
+        return out
 
     def end_frame(self, bits_used: int, is_idr: bool,
                   is_b: bool = False) -> None:
@@ -89,7 +103,10 @@ class RateControl:
         # (B mismatches must not yank the base QP).
         if not is_idr and not is_b:
             self.qp = max(0.0, min(51.0, self.qp + step))
-        else:
+            # the repay budgeted into this frame's target is now spent
+            self._i_excess = max(0.0, self._i_excess - self._repay_last)
+            self._repay_last = 0.0
+        elif is_idr:
             self._i_excess = max(0.0, bits_used - self.avg)
         self.fullness += self.avg - bits_used
         # clamp to the buffer (overflow/underflow handling :246-261)

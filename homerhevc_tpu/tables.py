@@ -218,10 +218,11 @@ def level_bits_est(levels, xp=np, axes=(-1, -2)):
     hmr_binary_encoding.c:306-551 — a closed-form proxy instead of running
     the context counter per candidate):
 
-      3*nonzeros + 2*magnitude-doublings          (level/sign/gt1 bins)
-      + 10 per coded 4x4 subblock                 (csbf + sig-flag bins)
-      + 5 * diagonal of the furthest coded subblock (csbf run + last_xy)
-      + 16                                        (cbf + last_xy base)
+      3*nonzeros + 2*magnitude-doublings            (level/sign/gt1 bins)
+      + TB_BITS_PER_SUBBLOCK per coded 4x4 subblock (csbf + sig bins)
+      + TB_BITS_PER_SB_DIST * diagonal of the furthest coded subblock
+                                                    (csbf run + last_xy)
+      + TB_BITS_OVERHEAD                            (cbf + last_xy base)
 
     Pure integer, so numpy (golden twins) and JAX agree bit-exactly.
     Requires the TB on the last two axes (axes must be (-1, -2)).

@@ -5,6 +5,7 @@ TPU-native extension validated the same way: cross-implementation
 bit-exactness)."""
 
 import os
+import socket
 import subprocess
 import sys
 
@@ -31,7 +32,8 @@ from homerhevc_tpu.utils.synth import synth_clip
 
 W, H, N, SPAN = 128, 64, 8, 4
 frames = list(synth_clip(W, H, N, seed=3))
-cfg = EncoderConfig(width=W, height=H, qp=30, cu_size=32, intra_period=0,
+cfg = EncoderConfig(width=W, height=H, qp=30, cu_size=32,
+                    intra_period=%(intra_period)d,
                     sign_hiding=True, sample_adaptive_offset=True)
 pipe = multihost.GopPipeline(cfg, span=SPAN)
 aus = pipe.encode(frames)
@@ -41,29 +43,39 @@ print("OK", pid, sum(len(a) for a in aus))
 """
 
 
-def test_two_process_pipeline_byte_identical(tmp_path):
-    # single-process golden FIRST: fills the shared compile cache so the
-    # two workers run in near-lockstep (a cold worker pair can skew past
-    # the distributed runtime's shutdown-barrier timeout)
+def _free_port() -> str:
+    # an ephemeral port avoids collisions with concurrent runs / TIME_WAIT
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return str(port)
+
+
+def _run_pipeline(tmp_path, intra_period):
     from homerhevc_tpu.api import HomerEncoder
     from homerhevc_tpu.config import EncoderConfig
     from homerhevc_tpu.utils.synth import synth_clip
+    # single-process golden FIRST: fills the shared compile cache so the
+    # two workers run in near-lockstep (a cold worker pair can skew past
+    # the distributed runtime's shutdown-barrier timeout)
     frames = list(synth_clip(128, 64, 8, seed=3))
     cfg = EncoderConfig(width=128, height=64, qp=30, cu_size=32,
-                        intra_period=0, sign_hiding=True,
+                        intra_period=intra_period, sign_hiding=True,
                         sample_adaptive_offset=True)
     enc = HomerEncoder(cfg, backend="jax", fetch_recon=False)
     golden = b"".join(enc.encode_frame(*f) for f in frames)
 
     out = str(tmp_path / "mh_")
-    script = WORKER % dict(repo=os.path.abspath(REPO), out=out)
+    script = WORKER % dict(repo=os.path.abspath(REPO), out=out,
+                           intra_period=intra_period)
     sp = str(tmp_path / "worker.py")
     with open(sp, "w") as f:
         f.write(script)
-    port = "12437"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["JAX_PLATFORM_NAME"] = "cpu"
+    port = _free_port()
     procs = [subprocess.Popen([sys.executable, "-u", sp, str(i), "2", port],
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
@@ -80,3 +92,13 @@ def test_two_process_pipeline_byte_identical(tmp_path):
         s1 = f.read()
     assert s0 == s1 and len(s0) > 0
     assert s0 == golden
+
+
+def test_two_process_pipeline_byte_identical(tmp_path):
+    _run_pipeline(tmp_path, intra_period=0)
+
+
+def test_two_process_pipeline_midspan_idr(tmp_path):
+    # intra_period=6 with span=4: the IDR at poc 6 falls mid-span in span 1
+    # — exercises the last_idr carry through seed_reference
+    _run_pipeline(tmp_path, intra_period=6)
