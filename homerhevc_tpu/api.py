@@ -263,14 +263,16 @@ class HomerEncoder:
                 with self.prof.probe("intra.device"):
                     out = intra_jax.encode_frame_intra_ctu64(
                         ydev, udev, vdev, qp=qp, sign_hiding=c.sign_hiding,
-                        split_rdo=self.intra_split)
+                        split_rdo=self.intra_split,
+                        rd_mode=int(c.rd_mode))
                 depth_offset = 1        # units are relative to 32-containers
             else:
                 with self.prof.probe("intra.device"):
                     out = intra_jax.encode_frame_intra(
                         ydev, udev, vdev,
                         B=ib, qp=qp, sign_hiding=c.sign_hiding,
-                        split_rdo=self.intra_split)
+                        split_rdo=self.intra_split,
+                        rd_mode=int(c.rd_mode))
                 depth_offset = 0
             with self.prof.probe("intra.fetch+maps"):
                 maps = native_backend.maps_from_intra_units(

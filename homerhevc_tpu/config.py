@@ -82,7 +82,12 @@ class EncoderConfig:
     sign_hiding: bool = True
     sample_adaptive_offset: bool = True
     deblocking: bool = True
-    rd_mode: RDMode = RDMode.FAST
+    # Intra RD depth (reference HOMER_RD_MODES, homer_hevc_enc_api.h:60-64).
+    # Default FULL: the batched TPU battery makes the all-35-mode search
+    # nearly free, unlike the reference's scalar loop where FAST is the
+    # default. FAST = 11-candidate battery + angular refinement; DIST_ONLY
+    # = pure-distortion decisions (lambda = 0 in the search).
+    rd_mode: RDMode = RDMode.FULL
     performance_mode: PerformanceMode = PerformanceMode.FAST_COMPUTATION
 
     # WPP: entropy_coding_sync per-CTU-row substreams (reference default on,

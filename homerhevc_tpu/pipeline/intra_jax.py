@@ -37,16 +37,23 @@ def lambda_fx(qp: int) -> int:
 
 def _encode_block_all_modes(orig, top, left, corner, has_left, has_top, *,
                             size, c_idx, qp, lam_fx, strong_smoothing,
-                            sign_hiding=False):
+                            sign_hiding=False, mode_set=None):
     """All-35-mode closed-loop encode of one block.
 
-    Returns (levels (35,N,N), recon (35,N,N), cost (35,) int64).
+    Returns (levels (M,N,N), recon (M,N,N), cost (M,) int64) where M is 35,
+    or len(mode_set) when a static candidate subset is given (rd_mode FAST:
+    the T/Q/IQ/IT battery only runs over the subset; role of the
+    reference's coarse loop1 candidate list, hmr_motion_intra.c:1076-1180).
     """
     log2 = size.bit_length() - 1
     refs = intra_ops.prepare_refs(top, left, corner, has_left, has_top,
                                   size=size, c_idx=c_idx,
                                   strong_smoothing=strong_smoothing)
     preds = intra_ops.predict_all_modes(*refs, size=size, c_idx=c_idx)
+    md = np.arange(35)
+    if mode_set is not None:
+        md = np.asarray(mode_set)
+        preds = preds[jnp.asarray(md)]
     resid = orig[None].astype(I32) - preds
     is_dst = (c_idx == 0 and size == 4)
     coeff = tx_ops.forward_transform(resid, is_dst=is_dst)
@@ -58,7 +65,6 @@ def _encode_block_all_modes(orig, top, left, corner, has_left, has_top, *,
             lv_d = quant_ops.sign_bit_hiding(levels, coeff, qp, log2, scan_idx=0)
             lv_h = quant_ops.sign_bit_hiding(levels, coeff, qp, log2, scan_idx=1)
             lv_v = quant_ops.sign_bit_hiding(levels, coeff, qp, log2, scan_idx=2)
-            md = np.arange(35)
             ver = jnp.asarray((md >= 6) & (md <= 14))[:, None, None]
             hor = jnp.asarray((md >= 22) & (md <= 30))[:, None, None]
             levels = jnp.where(ver, lv_v, jnp.where(hor, lv_h, lv_d))
@@ -135,18 +141,20 @@ def _child_aux(trow_vec, lcol_vec, rec, cx, cy, h, x0, top_limit, n_parent):
 
 
 def _search_unit(o, refs, aux, *, size, min_size, c_idx, qp, lam_fx,
-                 strong_smoothing, sign_hiding):
-    """RD-search one luma CU: whole (all 35 modes) vs the 4 half-size
-    children (recursively), by integer cost. Returns
-    (lev, rec, mode_units, depth_units, cost)."""
+                 strong_smoothing, sign_hiding, mode_set=None):
+    """RD-search one luma CU: whole (all 35 modes, or the rd_mode FAST
+    subset) vs the 4 half-size children (recursively), by integer cost.
+    Returns (lev, rec, mode_units, depth_units, cost)."""
     top, left, corner, hl, ht = refs
     trow_vec, lcol_vec, x0, top_limit, W = aux
     lv35, rc35, cost = _encode_block_all_modes(
         o, top, left, corner, hl, ht, size=size, c_idx=c_idx, qp=qp,
         lam_fx=lam_fx, strong_smoothing=strong_smoothing and size == 32,
-        sign_hiding=sign_hiding)
-    m = jnp.argmin(cost).astype(I32)
-    lev, rec, cost_w = lv35[m], rc35[m], cost[m]
+        sign_hiding=sign_hiding, mode_set=mode_set)
+    mi = jnp.argmin(cost).astype(I32)
+    m = (mi if mode_set is None
+         else jnp.asarray(np.asarray(mode_set, np.int32))[mi])
+    lev, rec, cost_w = lv35[mi], rc35[mi], cost[mi]
     un = size // 4
     mode_u = jnp.full((un, un), m, I32)
     depth_u = jnp.zeros((un, un), I32)
@@ -169,7 +177,8 @@ def _search_unit(o, refs, aux, *, size, min_size, c_idx, qp, lam_fx,
         lv_c, rc_c, mu_c, du_c, cost_c = _search_unit(
             oc, refs_c, aux_c + (W,), size=h, min_size=min_size,
             c_idx=c_idx, qp=qp, lam_fx=lam_fx,
-            strong_smoothing=strong_smoothing, sign_hiding=sign_hiding)
+            strong_smoothing=strong_smoothing, sign_hiding=sign_hiding,
+            mode_set=mode_set)
         lev_s = jax.lax.dynamic_update_slice(lev_s, lv_c, (cy, cx))
         rec_s = jax.lax.dynamic_update_slice(rec_s, rc_c, (cy, cx))
         uy, ux = cy // 4, cx // 4
@@ -287,7 +296,26 @@ def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
     return jnp.where(split, lev_s, lev), jnp.where(split, rec_s, rec)
 
 
-def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing):
+# rd_mode FAST coarse candidate list: planar, DC, angular every 4th — the
+# role of the reference's loop1 search rounds (hmr_motion_intra.c:1076-1080);
+# a +-1/+-2 refinement around the angular winner follows.
+_FAST_MODES = (0, 1, 2, 6, 10, 14, 18, 22, 26, 30, 34)
+
+
+def _cost_one_mode(o, top, left, corner, hl, ht, m, *, size, qp, lam_fx,
+                   strong_smoothing):
+    """Open-loop RD cost of ONE traced luma mode (FAST refinement stage)."""
+    lev, rec = _encode_block_one_mode(
+        o, top, left, corner, hl, ht, m, size=size, c_idx=0, qp=qp,
+        lam_fx=lam_fx, strong_smoothing=strong_smoothing,
+        sign_hiding=False)
+    diff = o.astype(I32) - rec
+    ssd = jnp.sum(diff * diff)
+    bits = jnp.minimum(tables.level_bits_est(lev, xp=jnp), 16383)
+    return ssd + (((lam_fx >> 4) * bits) >> 4)
+
+
+def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing, rd_mode=1):
     """Pass A of the two-pass intra quadtree: batched OPEN-LOOP 35-mode
     search + split decision over the whole frame, one dense pass per depth.
 
@@ -298,9 +326,16 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing):
     recursive unroll took tens of minutes of XLA time; this compiles in
     seconds). Pass B (_follow_unit over the wavefront) then applies the
     decided modes closed-loop, so the coded stream remains decoder-exact.
+
+    rd_mode (reference enum HOMER_RD_MODES, homer_hevc_enc_api.h:60-64):
+    1=RD_FULL all 35 modes; 2=RD_FAST coarse 11-mode battery + +-1/+-2
+    angular refinement (hmr_motion_intra.c:1084-1180); 0=RD_DIST_ONLY
+    decisions by distortion alone (lambda forced to 0 in the search).
     Returns (mode_u, depth_u) unit maps (uh, uw), depth 0 == B."""
     H, W = y_pad.shape
     orig = y_pad.astype(I32)
+    if rd_mode == 0:
+        lam_fx = jnp.zeros_like(jnp.asarray(lam_fx))
     sizes = [s for s in (4, 8, 16, 32) if s <= B]
     ov = ((lam_fx >> 4) * 14) >> 4
     best = {}
@@ -321,13 +356,29 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing):
         ht = jnp.broadcast_to(rr[:, None] > 0, (nby, nbx))
 
         def one(o, t, l, co, h_l, h_t, S=S):
+            subset = _FAST_MODES if rd_mode == 2 else None
             _, _, cost = _encode_block_all_modes(
                 o, t, l, co, h_l, h_t, size=S, c_idx=0, qp=qp,
                 lam_fx=lam_fx,
                 strong_smoothing=strong_smoothing and S == 32,
-                sign_hiding=False)
-            m = jnp.argmin(cost).astype(I32)
-            return m, cost[m].astype(I32)
+                sign_hiding=False, mode_set=subset)
+            mi = jnp.argmin(cost).astype(I32)
+            if subset is None:
+                return mi, cost[mi].astype(I32)
+            m = jnp.asarray(np.asarray(subset, np.int32))[mi]
+            bc = cost[mi].astype(I32)
+            # refine the angular winner +-1/+-2 (planar/DC winners re-eval
+            # clipped duplicates — wasted work but branch-free)
+            for dm in (-2, -1, 1, 2):
+                mm = jnp.clip(m + dm, 2, 34)
+                mm = jnp.where(m >= 2, mm, m)
+                c1 = _cost_one_mode(
+                    o, t, l, co, h_l, h_t, mm, size=S, qp=qp, lam_fx=lam_fx,
+                    strong_smoothing=strong_smoothing and S == 32).astype(I32)
+                take = c1 < bc
+                m = jnp.where(take, mm, m)
+                bc = jnp.where(take, c1, bc)
+            return m, bc
 
         # one block row per map step bounds the 35-mode battery's live set
         modes, cost = jax.lax.map(
@@ -375,7 +426,7 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing):
 
 def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
              strong_smoothing, sign_hiding=False, split_rdo=False,
-             ctu64=False, maps=None):
+             ctu64=False, maps=None, rd_mode=1):
     """Process block (r, c=d-2r) of the diagonal (one vmap lane): one
     B-sized container. With split_rdo, `maps` carries the open-loop
     (mode_u, depth_u) frame maps and the lane APPLIES them closed-loop
@@ -431,8 +482,11 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
         lev_y, rec_y, mode_u, depth_u, _ = _search_unit(
             orig.astype(I32), (top, left, corner, has_left, has_top),
             (trow_y, lcol_y, x0, lim_y, W), size=B, min_size=B,
-            c_idx=0, qp=qp, lam_fx=lam, strong_smoothing=strong_smoothing,
-            sign_hiding=sign_hiding)
+            c_idx=0, qp=qp,
+            lam_fx=(jnp.zeros_like(lam) if rd_mode == 0 else lam),
+            strong_smoothing=strong_smoothing,
+            sign_hiding=sign_hiding,
+            mode_set=(_FAST_MODES if rd_mode == 2 else None))
         part_u = jnp.zeros_like(depth_u, dtype=bool)
 
     # ---- chroma: follows the luma quadtree with derived modes ----
@@ -460,7 +514,7 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
 
 def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
                strong_smoothing, sign_hiding=False, split_rdo=False,
-               maps=None):
+               maps=None, rd_mode=1):
     """CTU-64 lane: one 64-CTU per step; its four 32-blocks run z-order
     sequentially (exact decoder availability, including the left CTU's BR
     samples feeding the TL block's below-left references). Each 32-block is
@@ -511,8 +565,11 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
         else:
             lv, rc, mu, du, _ = _search_unit(
                 oc, refs_c, aux_c + (W,), size=32, min_size=32, c_idx=0,
-                qp=qp, lam_fx=lam, strong_smoothing=strong_smoothing,
-                sign_hiding=sign_hiding)
+                qp=qp, lam_fx=(jnp.zeros_like(lam) if rd_mode == 0
+                               else lam),
+                strong_smoothing=strong_smoothing,
+                sign_hiding=sign_hiding,
+                mode_set=(_FAST_MODES if rd_mode == 2 else None))
         lev = jax.lax.dynamic_update_slice(lev, lv, (cy, cx))
         rec = jax.lax.dynamic_update_slice(rec, rc, (cy, cx))
         mode_u = jax.lax.dynamic_update_slice(mode_u, mu, (cy // 4, cx // 4))
@@ -559,12 +616,13 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
 
 @functools.partial(jax.jit, static_argnames=("B", "strong_smoothing",
                                              "sign_hiding", "split_rdo",
-                                             "ctu64"))
+                                             "ctu64", "rd_mode"))
 def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
                        strong_smoothing: bool = True,
                        sign_hiding: bool = False,
                        split_rdo: bool = False,
-                       ctu64: bool = False):
+                       ctu64: bool = False,
+                       rd_mode: int = 1):
     """Encode one padded frame all-intra with CU = TU = B.
 
     qp may be a python int or traced scalar (rate control varies it per
@@ -603,12 +661,13 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
     )
 
     maps = (_open_loop_maps(y_pad, B=B, qp=qp, lam_fx=lam,
-                            strong_smoothing=strong_smoothing)
+                            strong_smoothing=strong_smoothing,
+                            rd_mode=rd_mode)
             if split_rdo else None)
     lane = functools.partial(
         _lane_fn, B=B, nbx=nbx, W=W, qp=qp, qp_c=qp_c, lam=lam, lam_c=lam_c,
         strong_smoothing=strong_smoothing, sign_hiding=sign_hiding,
-        split_rdo=split_rdo, ctu64=ctu64, maps=maps)
+        split_rdo=split_rdo, ctu64=ctu64, maps=maps, rd_mode=rd_mode)
     rs = jnp.arange(nby)
 
     def body(d, st):
@@ -663,11 +722,13 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
 
 
 @functools.partial(jax.jit, static_argnames=("strong_smoothing",
-                                             "sign_hiding", "split_rdo"))
+                                             "sign_hiding", "split_rdo",
+                                             "rd_mode"))
 def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
                              strong_smoothing: bool = True,
                              sign_hiding: bool = False,
-                             split_rdo: bool = False):
+                             split_rdo: bool = False,
+                             rd_mode: int = 1):
     """All-intra frame with 64-CTUs: wavefront over 64-CTU anti-diagonals,
     z-order 32-blocks inside each lane, each RD-searched as a CU quadtree
     down to 8 (split_rdo). Returns frame-level mode/depth unit maps."""
@@ -696,12 +757,13 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
         rec_v=jnp.zeros((nby, nbx, B2, B2), I32),
     )
     maps = (_open_loop_maps(y_pad, B=32, qp=qp, lam_fx=lam,
-                            strong_smoothing=strong_smoothing)
+                            strong_smoothing=strong_smoothing,
+                            rd_mode=rd_mode)
             if split_rdo else None)
     lane = functools.partial(
         _lane_fn64, nbx=nbx, W=W, qp=qp, qp_c=qp_c, lam=lam, lam_c=lam_c,
         strong_smoothing=strong_smoothing, sign_hiding=sign_hiding,
-        split_rdo=split_rdo, maps=maps)
+        split_rdo=split_rdo, maps=maps, rd_mode=rd_mode)
     rs = jnp.arange(nby)
 
     def body(d, st):
