@@ -110,7 +110,11 @@ class HomerEncoder:
             min_cu_log2=(3 if self.intra_split
                          else self.intra_b.bit_length() - 1),
             max_tu_log2=min(5, self.ctu_log2),
-            max_tr_depth_intra=0,
+            # intra residual quadtree: one split level RD-searched by the
+            # two-pass pipeline (reference: hmr_motion_intra.c:1229-1632)
+            max_tr_depth_intra=(1 if (self.intra_split
+                                      and c.max_intra_tr_depth >= 1)
+                                else 0),
             max_tr_depth_inter=(1 if self.inter_split else 0),
             init_qp=c.qp, sign_hiding=c.sign_hiding,
             deblocking_disabled=not c.deblocking,
@@ -139,13 +143,14 @@ class HomerEncoder:
         if c.bitrate_mode != BitrateMode.FIXED_QP:
             from .rate_control import RateControl
             self._rc = RateControl(c)
-        # per-CTU-row QP (cu_qp_delta): active with rate control + WPP on
-        # the quadtree path; row plans are fed forward from the previous
-        # frame's per-row coefficient load
-        self._row_qp_on = bool(self._rc is not None and c.wpp
-                               and self.inter_split
-                               and (1 << self.ctu_log2) == 32)
+        # per-CTU-row QP (cu_qp_delta): active whenever rate control runs
+        # on the quadtree path (any CTU size, WPP or not). Row plans come
+        # from the consumed-bits controller (RateControl.plan_rows):
+        # previous frame's measured bits distributed per row + VBV.
+        self._row_qp_on = bool(self._rc is not None and self.inter_split
+                               and backend == "jax")
         self._prev_row_load = None
+        self._prev_row_bits = None
         if self._row_qp_on:
             self.params = dataclasses.replace(
                 self.params, cu_qp_delta_enabled=True, cu_qp_delta_depth=0)
@@ -258,13 +263,17 @@ class HomerEncoder:
                                     jnp.asarray(vp))
         self._cur_dev = (ydev, udev, vdev)
         if is_idr:
+            # row-QP history does not survive an IDR (new consumption regime)
+            self._prev_row_load = None
+            self._prev_row_bits = None
             ib = self.intra_b
+            tu_depth = self.params.max_tr_depth_intra
             if self.ctu64:
                 with self.prof.probe("intra.device"):
                     out = intra_jax.encode_frame_intra_ctu64(
                         ydev, udev, vdev, qp=qp, sign_hiding=c.sign_hiding,
                         split_rdo=self.intra_split,
-                        rd_mode=int(c.rd_mode))
+                        rd_mode=int(c.rd_mode), tu_depth=tu_depth)
                 depth_offset = 1        # units are relative to 32-containers
             else:
                 with self.prof.probe("intra.device"):
@@ -272,18 +281,21 @@ class HomerEncoder:
                         ydev, udev, vdev,
                         B=ib, qp=qp, sign_hiding=c.sign_hiding,
                         split_rdo=self.intra_split,
-                        rd_mode=int(c.rd_mode))
+                        rd_mode=int(c.rd_mode), tu_depth=tu_depth)
                 depth_offset = 0
             with self.prof.probe("intra.fetch+maps"):
                 maps = native_backend.maps_from_intra_units(
                     out["mode_units"], out["depth_units"], out["lev_y"],
                     out["lev_u"], out["lev_v"], depth_offset=depth_offset,
                     part_units=(out.get("part_units")
-                                if self.intra_split else None))
+                                if self.intra_split else None),
+                    tr_depth_units=(out.get("trd_units")
+                                    if tu_depth else None))
             if deblk:
                 self._ref = p_jax.deblock_intra_device(
                     out["recon_y"], out["recon_u"], out["recon_v"],
-                    B=ib, qp=qp, depth_units=out["depth_units"])
+                    B=ib, qp=qp, depth_units=out["depth_units"],
+                    trd_units=(out.get("trd_units") if tu_depth else None))
             else:
                 self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
             with self.prof.probe("sao"):
@@ -590,7 +602,8 @@ class HomerEncoder:
         if self._row_qp_on:
             nrows = self.ph // ctu
             qp_rows = np.stack([
-                self._rc.plan_rows(q, nrows, self._prev_row_load)
+                self._rc.plan_rows(q, nrows, self._prev_row_load,
+                                   self._prev_row_bits)
                 for q in qps])
             self._last_row_plans = qp_rows
         with self.prof.probe("chunk.dispatch"):
@@ -605,7 +618,7 @@ class HomerEncoder:
                 intra_in_p=(self.inter_split and ctu == 32),
                 qp_rows=(None if qp_rows is None
                          else jnp.asarray(qp_rows, jnp.int32)),
-                vis=(c.height, c.width))
+                vis=(c.height, c.width), wpp=c.wpp)
         self._ref = (fy, fu, fv)
         return wires, denses, self._last_row_plans
 
@@ -685,9 +698,13 @@ class HomerEncoder:
                 imode_u = np.where(intra_u.astype(bool), mv_u[..., 0], 1)
                 dec = _tree_decisions(depth_u, mv_u, nz, self.ctu_log2, 5,
                                       pred_intra_u=intra_u)
+                # intra-in-P CUs code TU=CU: the inter TU-split flag must
+                # not leak into their (intra) transform tree now that
+                # max_tr_depth_intra can be > 0
+                trd_p = np.where(intra_u.astype(bool), 0, trd_u)
                 maps = native_backend.maps_from_p_units(depth_u, dec, lev_y,
                                                         lev_u, lev_v,
-                                                        tr_depth=trd_u,
+                                                        tr_depth=trd_p,
                                                         pred_intra=intra_u,
                                                         intra_mode=imode_u)
                 if row_plans is not None:
@@ -715,6 +732,12 @@ class HomerEncoder:
             self.last_qp = qp
             self.poc += 1
             self.frame_bytes.append(len(au))
+            if row_plans is not None and self._prev_row_load is not None:
+                # measured per-row consumption: the frame's real bits
+                # distributed by the coded coefficient load per row
+                load = self._prev_row_load.astype(np.float64)
+                tot = max(load.sum(), 1.0)
+                self._prev_row_bits = len(au) * 8 * load / tot
             if self._rc:
                 self._rc.end_frame(len(au) * 8, False)
         return None
@@ -730,13 +753,22 @@ class HomerEncoder:
         ctu = 1 << self.ctu_log2
         deblk = c.deblocking
         ydev, udev, vdev = self._cur_dev
+        qp_rows = None
+        if self._row_qp_on:
+            import jax.numpy as jnp
+            qp_rows = self._rc.plan_rows(qp, self.ph // ctu,
+                                         self._prev_row_load,
+                                         self._prev_row_bits)
         with self.prof.probe("p.device"):
             out = p_jax.p_frame_tree_device(
                 ydev, udev, vdev, *self._ref, ctu=ctu, qp=qp,
                 search=c.me_search_range,
                 me_precision=int(c.motion_estimation_precision),
                 deblock=deblk, sign_hiding=c.sign_hiding, tr_split=True,
-                intra_in_p=(ctu == 32), vis=(c.height, c.width))
+                intra_in_p=(ctu == 32), vis=(c.height, c.width),
+                qp_rows=(None if qp_rows is None
+                         else jnp.asarray(qp_rows, jnp.int32)),
+                wpp=c.wpp)
         uh, uw = self.ph // 4, self.pw // 4
         nby, nbx = self.ph // ctu, self.pw // ctu
         npix = self.ph * self.pw
@@ -768,19 +800,31 @@ class HomerEncoder:
             imode_u = np.where(intra_u.astype(bool), mv_u[..., 0], 1)
             dec = _tree_decisions(depth_u, mv_u, nz_u, self.ctu_log2, 5,
                                   pred_intra_u=intra_u)
+            # intra-in-P CUs code TU=CU (see _finish_chunk note)
+            trd_p = np.where(intra_u.astype(bool), 0, trd_u)
             maps = native_backend.maps_from_p_units(depth_u, dec, lev_yp,
                                                     lev_up, lev_vp,
-                                                    tr_depth=trd_u,
+                                                    tr_depth=trd_p,
                                                     pred_intra=intra_u,
                                                     intra_mode=imode_u)
+            if qp_rows is not None:
+                maps["qp_ctu"] = np.repeat(qp_rows[:, None], nbx,
+                                           1).astype(np.int8)
+                self._prev_row_load = (
+                    (lev_yp != 0).reshape(nby, ctu, -1).sum((1, 2)))
         key = "ref" if deblk else "recon"
         self._ref = (out[key + "_y"], out[key + "_u"], out[key + "_v"])
         with self.prof.probe("sao"):
             sao_info = self._maybe_sao(yp, up, vp, qp, slice_p=True)
         with self.prof.probe("entropy"):
-            return assemble.assemble_p_au_from_maps(
+            au = assemble.assemble_p_au_from_maps(
                 self.params, maps, poc=self.poc - self.last_idr,
                 slice_qp=qp, sao_info=sao_info)
+            if qp_rows is not None and self._prev_row_load is not None:
+                load = self._prev_row_load.astype(np.float64)
+                self._prev_row_bits = (len(au) * 8 * load
+                                       / max(load.sum(), 1.0))
+            return au
 
     # ------------------------------------------------------------------
     def _encode_golden(self, yp, up, vp, is_idr, qp):

@@ -109,8 +109,10 @@ class EncoderConfig:
             raise ValueError(f"cu_size must be 16/32/64, got {cfg.cu_size}")
         max_depth = {64: 4, 32: 3, 16: 2}[cfg.cu_size]
         cfg.max_pred_partition_depth = min(max(cfg.max_pred_partition_depth, 1), max_depth)
-        cfg.max_intra_tr_depth = min(max(cfg.max_intra_tr_depth, 1), 4)
-        cfg.max_inter_tr_depth = min(max(cfg.max_inter_tr_depth, 1), 4)
+        # 0 disables the residual quadtree (TU = CU); the RD search itself
+        # currently evaluates one split level (depth 1)
+        cfg.max_intra_tr_depth = min(max(cfg.max_intra_tr_depth, 0), 4)
+        cfg.max_inter_tr_depth = min(max(cfg.max_inter_tr_depth, 0), 4)
         cfg.qp = min(max(cfg.qp, 0), 51)
         if cfg.width % 2 or cfg.height % 2:
             raise ValueError("width/height must be even for YUV420")

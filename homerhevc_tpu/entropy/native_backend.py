@@ -233,16 +233,20 @@ def _rep_units(a: np.ndarray, un: int) -> np.ndarray:
 
 
 def maps_from_intra_units(mode_units, depth_units, lev_y, lev_u, lev_v,
-                          depth_offset: int = 0, part_units=None) -> dict:
+                          depth_offset: int = 0, part_units=None,
+                          tr_depth_units=None) -> dict:
     """Frame maps directly from the pipelines' unit-granular mode/depth
     maps (any quadtree depth). part_units marks 8x8 CUs coded PART_NxN
     (per-4x4-PU modes live in mode_units; chroma mode = PU0's, spec
-    7.3.8.5)."""
+    7.3.8.5). tr_depth_units marks split_transform_flag CUs (intra
+    residual quadtree depth 1, hmr_motion_intra.c:1229-1632)."""
     m8 = np.ascontiguousarray(np.asarray(mode_units), dtype=np.int8)
     d8 = np.ascontiguousarray(
         np.asarray(depth_units) + depth_offset).astype(np.int8)
     uh, uw = m8.shape
     z8 = np.zeros((uh, uw), np.int8)
+    trd = (z8 if tr_depth_units is None else
+           np.ascontiguousarray(np.asarray(tr_depth_units)).astype(np.int8))
     if part_units is None:
         part = np.zeros((uh, uw), np.uint8)
         chroma = m8
@@ -252,7 +256,7 @@ def maps_from_intra_units(mode_units, depth_units, lev_y, lev_u, lev_v,
         pu0 = m8[::2, ::2]
         chroma = np.repeat(np.repeat(pu0, 2, 0), 2, 1)[:uh, :uw]
         chroma = np.where(part.astype(bool), chroma, m8).astype(np.int8)
-    return dict(depth=d8, luma_mode=m8, chroma_mode=chroma, tr_depth=z8,
+    return dict(depth=d8, luma_mode=m8, chroma_mode=chroma, tr_depth=trd,
                 merge_idx=z8, mvp_idx=z8,
                 part_nxn=part,
                 pred_intra=np.ones((uh, uw), np.uint8),

@@ -278,12 +278,17 @@ def inter_bs_from_units(depth_u, mv_u, cbf_u, ctu_log2: int, xp=np,
     return bs_v, bs_h
 
 
-def intra_bs_from_depth_units(depth_u, xp=np):
+def intra_bs_from_depth_units(depth_u, xp=np, trd_u=None):
     """bs maps for an all-intra frame from the unit-granular CU/TU depth map
     (relative to 32-containers: TU size per unit = 32 >> depth, i.e. 32/16/8
-    — all on the 8-pel deblocking grid; intra edges are bS 2)."""
+    — all on the 8-pel deblocking grid; intra edges are bS 2). trd_u marks
+    CUs whose transform splits one level (split_transform_flag): their TU
+    edges lie one level finer (a 4x4-TB interior edge falls off the 8-pel
+    grid, so the clamp to 4 is harmless)."""
     uh, uw = depth_u.shape
     tusz = 32 >> depth_u.astype(xp.int32)             # (uh, uw)
+    if trd_u is not None:
+        tusz = xp.maximum(tusz >> trd_u.astype(xp.int32), 4)
     posx = (np.arange(uw) * 4).astype(np.int32)
     posy = (np.arange(uh) * 4).astype(np.int32)
     startx = (posx[None, :] & (tusz - 1)) == 0        # unit starts a TU (x)

@@ -235,13 +235,21 @@ def _encode_block_one_mode(orig, top, left, corner, has_left, has_top, m, *,
 
 def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
                  c_idx, qp, lam_fx, sign_hiding, strong_smoothing=False,
-                 f_part=None):
+                 f_part=None, f_trd=None):
     """CU following a DECIDED quadtree: split iff the co-located map depth
     exceeds `depth`; mode from the co-located map. Used for chroma (DM from
     luma) and, in the two-pass design, for luma applying the open-loop
     maps. f_mode/f_depth are unit-granular for this component; f_part
     (luma only) marks 8x8 leaves coded as PART_NxN — four z-order 4x4 PUs
-    with per-PU modes and 4x4 DST luma TBs."""
+    with per-PU modes and 4x4 DST luma TBs.
+
+    f_trd marks leaf CUs whose TRANSFORM splits one level
+    (split_transform_flag) while keeping the single PU/mode: the 4
+    half-size TBs re-predict from in-CU recon at TB granularity — which is
+    computationally IDENTICAL to a depth split whose children inherit the
+    parent's mode, so it is applied by rewriting the followed maps (mode
+    broadcast + forced child leaves) instead of a second encode battery
+    (zero extra compile/runtime cost)."""
     top, left, corner, hl, ht = refs
     trow_vec, lcol_vec, x0, top_limit, W = aux
     m = f_mode[0, 0]
@@ -266,11 +274,27 @@ def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
                 lev_n = jax.lax.dynamic_update_slice(lev_n, lv_c, (cy, cx))
                 rec_n = jax.lax.dynamic_update_slice(rec_n, rc_c, (cy, cx))
             part = f_part[0, 0]
+            if f_trd is not None:
+                # TU-split of an 8x8 2Nx2N CU: same 4x4 z-order coding as
+                # NxN but with the CU's single mode (f_mode is uniform)
+                part = part | (f_trd[0, 0] > 0)
             lev = jnp.where(part, lev_n, lev)
             rec = jnp.where(part, rec_n, rec)
         return lev, rec
 
     h = size // 2
+    split = f_depth[0, 0] > depth
+    if f_trd is not None:
+        # TU-split == depth split with the parent's mode inherited: rewrite
+        # the followed maps (mode broadcast, children forced to leaves with
+        # no NxN / further TU split) and reuse the child recursion below.
+        tr_here = jnp.logical_and(jnp.logical_not(split), f_trd[0, 0] > 0)
+        f_mode = jnp.where(tr_here, m, f_mode)
+        f_depth = jnp.where(tr_here, depth + 1, f_depth)
+        if f_part is not None:
+            f_part = jnp.logical_and(f_part, jnp.logical_not(tr_here))
+        f_trd = jnp.where(tr_here, 0, f_trd)
+        split = jnp.logical_or(split, tr_here)
     lev_s = jnp.zeros((size, size), I32)
     rec_s = jnp.zeros((size, size), I32)
     for (hx, hy) in _Z_CHILDREN:
@@ -285,14 +309,15 @@ def _follow_unit(o, refs, aux, f_mode, f_depth, *, size, depth, min_size,
         fd_c = jax.lax.dynamic_slice(f_depth, (cy // 4, cx // 4), (hu, hu))
         fp_c = (None if f_part is None else
                 jax.lax.dynamic_slice(f_part, (cy // 4, cx // 4), (hu, hu)))
+        ft_c = (None if f_trd is None else
+                jax.lax.dynamic_slice(f_trd, (cy // 4, cx // 4), (hu, hu)))
         lv_c, rc_c = _follow_unit(
             oc, refs_c, aux_c + (W,), fm_c, fd_c, size=h, depth=depth + 1,
             min_size=min_size, c_idx=c_idx, qp=qp, lam_fx=lam_fx,
             sign_hiding=sign_hiding, strong_smoothing=strong_smoothing,
-            f_part=fp_c)
+            f_part=fp_c, f_trd=ft_c)
         lev_s = jax.lax.dynamic_update_slice(lev_s, lv_c, (cy, cx))
         rec_s = jax.lax.dynamic_update_slice(rec_s, rc_c, (cy, cx))
-    split = f_depth[0, 0] > depth
     return jnp.where(split, lev_s, lev), jnp.where(split, rec_s, rec)
 
 
@@ -315,7 +340,8 @@ def _cost_one_mode(o, top, left, corner, hl, ht, m, *, size, qp, lam_fx,
     return ssd + (((lam_fx >> 4) * bits) >> 4)
 
 
-def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing, rd_mode=1):
+def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing, rd_mode=1,
+                    tu_split=True):
     """Pass A of the two-pass intra quadtree: batched OPEN-LOOP 35-mode
     search + split decision over the whole frame, one dense pass per depth.
 
@@ -364,7 +390,7 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing, rd_mode=1):
                 sign_hiding=False, mode_set=subset)
             mi = jnp.argmin(cost).astype(I32)
             if subset is None:
-                return mi, cost[mi].astype(I32)
+                return mi, cost[mi].astype(I32), cost.astype(I32)
             m = jnp.asarray(np.asarray(subset, np.int32))[mi]
             bc = cost[mi].astype(I32)
             # refine the angular winner +-1/+-2 (planar/DC winners re-eval
@@ -378,13 +404,13 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing, rd_mode=1):
                 take = c1 < bc
                 m = jnp.where(take, mm, m)
                 bc = jnp.where(take, c1, bc)
-            return m, bc
+            return m, bc, cost.astype(I32)
 
         # one block row per map step bounds the 35-mode battery's live set
-        modes, cost = jax.lax.map(
+        modes, cost, costv = jax.lax.map(
             lambda args: jax.vmap(one)(*args),
             (blocks, top, left, corner, hl, ht))
-        best[S] = (modes, cost)                     # (nby, nbx)
+        best[S] = (modes, cost, costv)     # (nby, nbx)[, (nby, nbx, M)]
 
     def sum4(a):
         py, px = a.shape
@@ -394,12 +420,45 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing, rd_mode=1):
         k = S // 4
         return jnp.repeat(jnp.repeat(a, k, 0), k, 1)
 
-    m8, c8 = best[8]
-    m16, c16 = best[16]
+    # Intra transform-depth RDO (role of the reference's residual-quadtree
+    # loop in encode_intra_luma, hmr_motion_intra.c:1229-1632): a CU may
+    # keep its single PU/mode but split the TRANSFORM to four half-size
+    # TBs (split_transform_flag). Pass-A cost of "CU at S, mode m, TU
+    # split" = the sum of its four S/2 child batteries at that SAME mode —
+    # the per-mode cost vectors are already computed per depth.
+    mlist = jnp.asarray(np.asarray(
+        _FAST_MODES if rd_mode == 2 else np.arange(35), np.int32))
+    tsov = ((lam_fx >> 4) * 8) >> 4     # split flag + extra cbf bins proxy
+
+    def sum4v(a):
+        py, px, M = a.shape
+        return a.reshape(py // 2, 2, px // 2, 2, M).sum(axis=(1, 3))
+
+    def tu_opt(vchild):
+        """Best same-mode TU-split cost per parent: (cost, mode)."""
+        s = sum4v(vchild)
+        i = jnp.argmin(s, axis=-1)
+        c = jnp.take_along_axis(s, i[..., None], -1)[..., 0] + tsov
+        return c, mlist[i]
+
+    m8, c8, v8 = best[8]
+    m16, c16, v16 = best[16]
+    m4, c4, v4 = best[4]
+    if tu_split:
+        ts8c, ts8m = tu_opt(v4)         # 8x8 CU -> four DST 4x4 TBs
+        trd8 = ts8c < c8
+        c8 = jnp.where(trd8, ts8c, c8)
+        m8 = jnp.where(trd8, ts8m, m8)
+        ts16c, ts16m = tu_opt(v8)       # 16x16 CU -> four 8x8 TBs
+        trd16 = ts16c < c16
+        c16 = jnp.where(trd16, ts16c, c16)
+        m16 = jnp.where(trd16, ts16m, m16)
+    else:
+        trd8 = jnp.zeros_like(c8, bool)
+        trd16 = jnp.zeros_like(c16, bool)
     # NxN at the 8x8 leaf: four 4x4 PUs (extra part bin + 3 mode signals)
     # vs one 2Nx2N — role of the reference's PART_SIZE_NxN intra search
     # (hmr_motion_intra.c:1759-1990). 4x4 luma TBs bring the DST into play.
-    m4, c4 = best[4]
     c4s = sum4(c4) + (((lam_fx >> 4) * 20) >> 4)
     part8 = c4s < c8
     c8e = jnp.where(part8, c4s, c8)
@@ -407,7 +466,14 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing, rd_mode=1):
     split16 = c8s < c16
     c16e = jnp.where(split16, c8s, c16)
     if 32 in best:
-        m32, c32 = best[32]
+        m32, c32, _ = best[32]
+        if tu_split:
+            ts32c, ts32m = tu_opt(v16)  # 32x32 CU -> four 16x16 TBs
+            trd32 = ts32c < c32
+            c32 = jnp.where(trd32, ts32c, c32)
+            m32 = jnp.where(trd32, ts32m, m32)
+        else:
+            trd32 = jnp.zeros_like(c32, bool)
         c16s = sum4(c16e) + ov
         split32 = c16s < c32
         mm32, mm16 = upu(split32, 32), upu(split16, 16)
@@ -415,18 +481,23 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing, rd_mode=1):
         mode_u = jnp.where(~mm32, upu(m32, 32),
                            jnp.where(~mm16, upu(m16, 16), upu(m8, 8)))
         part_u = mm32 & mm16 & upu(part8, 8)
+        trd_u = jnp.where(~mm32, upu(trd32, 32),
+                          jnp.where(~mm16, upu(trd16, 16),
+                                    upu(trd8 & ~part8, 8)))
     else:
         mm16 = upu(split16, 16)
         depth_u = jnp.where(mm16, 1, 0).astype(I32)
         mode_u = jnp.where(mm16, upu(m8, 8), upu(m16, 16))
         part_u = mm16 & upu(part8, 8)
+        trd_u = jnp.where(mm16, upu(trd8 & ~part8, 8), upu(trd16, 16))
     mode_u = jnp.where(part_u, m4, mode_u)          # per-4x4-PU modes
-    return mode_u.astype(I32), depth_u.astype(I32), part_u
+    return (mode_u.astype(I32), depth_u.astype(I32), part_u,
+            trd_u.astype(I32))
 
 
 def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
              strong_smoothing, sign_hiding=False, split_rdo=False,
-             ctu64=False, maps=None, rd_mode=1):
+             ctu64=False, maps=None, rd_mode=1, tu_split=False):
     """Process block (r, c=d-2r) of the diagonal (one vmap lane): one
     B-sized container. With split_rdo, `maps` carries the open-loop
     (mode_u, depth_u) frame maps and the lane APPLIES them closed-loop
@@ -472,12 +543,13 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
         mode_u = jax.lax.dynamic_slice(maps[0], (r * Bu, cc * Bu), (Bu, Bu))
         depth_u = jax.lax.dynamic_slice(maps[1], (r * Bu, cc * Bu), (Bu, Bu))
         part_u = jax.lax.dynamic_slice(maps[2], (r * Bu, cc * Bu), (Bu, Bu))
+        trd_u = jax.lax.dynamic_slice(maps[3], (r * Bu, cc * Bu), (Bu, Bu))
         lev_y, rec_y = _follow_unit(
             orig.astype(I32), (top, left, corner, has_left, has_top),
             (trow_y, lcol_y, x0, lim_y, W), mode_u, depth_u, size=B,
             depth=0, min_size=8, c_idx=0, qp=qp, lam_fx=lam,
             sign_hiding=sign_hiding, strong_smoothing=strong_smoothing,
-            f_part=part_u)
+            f_part=part_u, f_trd=(trd_u if tu_split else None))
     else:
         lev_y, rec_y, mode_u, depth_u, _ = _search_unit(
             orig.astype(I32), (top, left, corner, has_left, has_top),
@@ -488,11 +560,13 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
             sign_hiding=sign_hiding,
             mode_set=(_FAST_MODES if rd_mode == 2 else None))
         part_u = jnp.zeros_like(depth_u, dtype=bool)
+        trd_u = jnp.zeros_like(depth_u)
 
     # ---- chroma: follows the luma quadtree with derived modes ----
     cx0 = cc * B2
     f_mode = mode_u[::2, ::2]
     f_depth = depth_u[::2, ::2]
+    f_trd_c = (trd_u[::2, ::2] if (split_rdo and tu_split) else None)
 
     def chroma(plane, bot, right, c_idx, qpc):
         o = jax.lax.dynamic_slice(plane, (r * B2, cx0), (B2, B2)).astype(I32)
@@ -501,20 +575,20 @@ def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
             o, (t, l, co, has_left, has_top),
             (trow_c, lcol_c, cx0, lim_c, W2), f_mode, f_depth, size=B2,
             depth=0, min_size=(4 if split_rdo else B2), c_idx=c_idx, qp=qpc,
-            lam_fx=lam_c, sign_hiding=sign_hiding)
+            lam_fx=lam_c, sign_hiding=sign_hiding, f_trd=f_trd_c)
 
     lev_u, rec_u = chroma(u_pad, bot_u, right_u, 1, qp_c)
     lev_v, rec_v = chroma(v_pad, bot_v, right_v, 2, qp_c)
 
     return dict(valid=valid, cc=cc, mode=mode_u[0, 0],
-                mode_u=mode_u, depth_u=depth_u, part_u=part_u,
+                mode_u=mode_u, depth_u=depth_u, part_u=part_u, trd_u=trd_u,
                 lev_y=lev_y, rec_y=rec_y, lev_u=lev_u, rec_u=rec_u,
                 lev_v=lev_v, rec_v=rec_v)
 
 
 def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
                strong_smoothing, sign_hiding=False, split_rdo=False,
-               maps=None, rd_mode=1):
+               maps=None, rd_mode=1, tu_split=False):
     """CTU-64 lane: one 64-CTU per step; its four 32-blocks run z-order
     sequentially (exact decoder availability, including the left CTU's BR
     samples feeding the TL block's below-left references). Each 32-block is
@@ -542,6 +616,7 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
     mode_u = jnp.zeros((16, 16), I32)
     depth_u = jnp.zeros((16, 16), I32)
     part_u = jnp.zeros((16, 16), bool)
+    trd_u64 = jnp.zeros((16, 16), I32)
     for (hx, hy) in _Z_CHILDREN:
         cx, cy = hx * 32, hy * 32
         refs_c = _child_refs(trow, lcol, corner64, rec, cx, cy, 32,
@@ -555,13 +630,17 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
                                                  cc * 16 + cx // 4), (8, 8))
             pu = jax.lax.dynamic_slice(maps[2], (r * 16 + cy // 4,
                                                  cc * 16 + cx // 4), (8, 8))
+            tu = jax.lax.dynamic_slice(maps[3], (r * 16 + cy // 4,
+                                                 cc * 16 + cx // 4), (8, 8))
             lv, rc = _follow_unit(
                 oc, refs_c, aux_c + (W,), mu, du, size=32, depth=0,
                 min_size=8, c_idx=0, qp=qp, lam_fx=lam,
                 sign_hiding=sign_hiding, strong_smoothing=strong_smoothing,
-                f_part=pu)
+                f_part=pu, f_trd=(tu if tu_split else None))
             part_u = jax.lax.dynamic_update_slice(part_u, pu,
                                                   (cy // 4, cx // 4))
+            trd_u64 = jax.lax.dynamic_update_slice(trd_u64, tu,
+                                                   (cy // 4, cx // 4))
         else:
             lv, rc, mu, du, _ = _search_unit(
                 oc, refs_c, aux_c + (W,), size=32, min_size=32, c_idx=0,
@@ -597,10 +676,13 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
                                        (4, 4))
             fd = jax.lax.dynamic_slice(depth_u[::2, ::2], (cy // 4, cx // 4),
                                        (4, 4))
+            ft = (jax.lax.dynamic_slice(trd_u64[::2, ::2],
+                                        (cy // 4, cx // 4), (4, 4))
+                  if (split_rdo and tu_split) else None)
             lv, rc = _follow_unit(
                 oc, refs_c, aux_c + (W // 2,), fm, fd, size=16, depth=0,
                 min_size=(4 if split_rdo else 16), c_idx=c_idx, qp=qpc,
-                lam_fx=lam_c, sign_hiding=sign_hiding)
+                lam_fx=lam_c, sign_hiding=sign_hiding, f_trd=ft)
             levc = jax.lax.dynamic_update_slice(levc, lv, (cy, cx))
             recc = jax.lax.dynamic_update_slice(recc, rc, (cy, cx))
         return levc, recc
@@ -609,20 +691,21 @@ def _lane_fn64(r, d, planes, state, *, nbx, W, qp, qp_c, lam, lam_c,
     lev_v, rec_v = chroma(v_pad, bot_v, right_v, 2, qp_c)
 
     return dict(valid=valid, cc=cc, mode_u=mode_u, depth_u=depth_u,
-                part_u=part_u,
+                part_u=part_u, trd_u=trd_u64,
                 lev_y=lev_y, rec_y=rec_y, lev_u=lev_u, rec_u=rec_u,
                 lev_v=lev_v, rec_v=rec_v)
 
 
 @functools.partial(jax.jit, static_argnames=("B", "strong_smoothing",
                                              "sign_hiding", "split_rdo",
-                                             "ctu64", "rd_mode"))
+                                             "ctu64", "rd_mode", "tu_depth"))
 def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
                        strong_smoothing: bool = True,
                        sign_hiding: bool = False,
                        split_rdo: bool = False,
                        ctu64: bool = False,
-                       rd_mode: int = 1):
+                       rd_mode: int = 1,
+                       tu_depth: int = 0):
     """Encode one padded frame all-intra with CU = TU = B.
 
     qp may be a python int or traced scalar (rate control varies it per
@@ -652,6 +735,7 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         mode_u=jnp.zeros((nby, nbx, B // 4, B // 4), I32),
         depth_u=jnp.zeros((nby, nbx, B // 4, B // 4), I32),
         part_u=jnp.zeros((nby, nbx, B // 4, B // 4), bool),
+        trd_u=jnp.zeros((nby, nbx, B // 4, B // 4), I32),
         lev_y=jnp.zeros((nby, nbx, B, B), I32),
         lev_u=jnp.zeros((nby, nbx, B2, B2), I32),
         lev_v=jnp.zeros((nby, nbx, B2, B2), I32),
@@ -660,14 +744,16 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         rec_v=jnp.zeros((nby, nbx, B2, B2), I32),
     )
 
+    tu_on = bool(tu_depth) and split_rdo
     maps = (_open_loop_maps(y_pad, B=B, qp=qp, lam_fx=lam,
                             strong_smoothing=strong_smoothing,
-                            rd_mode=rd_mode)
+                            rd_mode=rd_mode, tu_split=tu_on)
             if split_rdo else None)
     lane = functools.partial(
         _lane_fn, B=B, nbx=nbx, W=W, qp=qp, qp_c=qp_c, lam=lam, lam_c=lam_c,
         strong_smoothing=strong_smoothing, sign_hiding=sign_hiding,
-        split_rdo=split_rdo, ctu64=ctu64, maps=maps, rd_mode=rd_mode)
+        split_rdo=split_rdo, ctu64=ctu64, maps=maps, rd_mode=rd_mode,
+        tu_split=tu_on)
     rs = jnp.arange(nby)
 
     def body(d, st):
@@ -692,7 +778,7 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         x0s = cc * B
         cx0s = cc * B2
         st = dict(st)
-        for key in ("mode_u", "depth_u", "part_u", "lev_y", "rec_y",
+        for key in ("mode_u", "depth_u", "part_u", "trd_u", "lev_y", "rec_y",
                     "lev_u", "rec_u", "lev_v", "rec_v"):
             st[key] = scatter_blocks(st[key], outs[key])
         st["bot_y"] = scatter_row(st["bot_y"], outs["rec_y"][:, -1, :], x0s, B)
@@ -714,6 +800,7 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         mode_units=blocks_to_plane(st["mode_u"], B // 4),
         depth_units=blocks_to_plane(st["depth_u"], B // 4),
         part_units=blocks_to_plane(st["part_u"], B // 4),
+        trd_units=blocks_to_plane(st["trd_u"], B // 4),
         lev_y=st["lev_y"], lev_u=st["lev_u"], lev_v=st["lev_v"],
         recon_y=blocks_to_plane(st["rec_y"], B).astype(jnp.uint8),
         recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),
@@ -723,12 +810,13 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
 
 @functools.partial(jax.jit, static_argnames=("strong_smoothing",
                                              "sign_hiding", "split_rdo",
-                                             "rd_mode"))
+                                             "rd_mode", "tu_depth"))
 def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
                              strong_smoothing: bool = True,
                              sign_hiding: bool = False,
                              split_rdo: bool = False,
-                             rd_mode: int = 1):
+                             rd_mode: int = 1,
+                             tu_depth: int = 0):
     """All-intra frame with 64-CTUs: wavefront over 64-CTU anti-diagonals,
     z-order 32-blocks inside each lane, each RD-searched as a CU quadtree
     down to 8 (split_rdo). Returns frame-level mode/depth unit maps."""
@@ -749,6 +837,7 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
         mode_u=jnp.zeros((nby, nbx, 16, 16), I32),
         depth_u=jnp.zeros((nby, nbx, 16, 16), I32),
         part_u=jnp.zeros((nby, nbx, 16, 16), bool),
+        trd_u=jnp.zeros((nby, nbx, 16, 16), I32),
         lev_y=jnp.zeros((nby, nbx, B, B), I32),
         lev_u=jnp.zeros((nby, nbx, B2, B2), I32),
         lev_v=jnp.zeros((nby, nbx, B2, B2), I32),
@@ -756,14 +845,15 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
         rec_u=jnp.zeros((nby, nbx, B2, B2), I32),
         rec_v=jnp.zeros((nby, nbx, B2, B2), I32),
     )
+    tu_on = bool(tu_depth) and split_rdo
     maps = (_open_loop_maps(y_pad, B=32, qp=qp, lam_fx=lam,
                             strong_smoothing=strong_smoothing,
-                            rd_mode=rd_mode)
+                            rd_mode=rd_mode, tu_split=tu_on)
             if split_rdo else None)
     lane = functools.partial(
         _lane_fn64, nbx=nbx, W=W, qp=qp, qp_c=qp_c, lam=lam, lam_c=lam_c,
         strong_smoothing=strong_smoothing, sign_hiding=sign_hiding,
-        split_rdo=split_rdo, maps=maps, rd_mode=rd_mode)
+        split_rdo=split_rdo, maps=maps, rd_mode=rd_mode, tu_split=tu_on)
     rs = jnp.arange(nby)
 
     def body(d, st):
@@ -785,7 +875,7 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
                 jnp.where(v[:, None], new_bottom, old))
 
         st = dict(st)
-        for key in ("mode_u", "depth_u", "part_u", "lev_y", "rec_y",
+        for key in ("mode_u", "depth_u", "part_u", "trd_u", "lev_y", "rec_y",
                     "lev_u", "rec_u", "lev_v", "rec_v"):
             st[key] = scatter_blocks(st[key], outs[key])
         st["bot_y"] = scatter_row(st["bot_y"], outs["rec_y"][:, -1, :],
@@ -812,6 +902,7 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
         mode_units=blocks_to_plane(st["mode_u"], 16),
         depth_units=blocks_to_plane(st["depth_u"], 16),
         part_units=blocks_to_plane(st["part_u"], 16),
+        trd_units=blocks_to_plane(st["trd_u"], 16),
         lev_y=st["lev_y"], lev_u=st["lev_u"], lev_v=st["lev_v"],
         recon_y=blocks_to_plane(st["rec_y"], B).astype(jnp.uint8),
         recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),

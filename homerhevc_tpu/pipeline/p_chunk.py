@@ -152,12 +152,12 @@ def _sao_device(cur, rec, ctu: int, qp: int, qp_c: int):
                    static_argnames=("ctu", "search", "me_precision",
                                     "sign_hiding", "deblock", "sao", "cap",
                                     "tree", "tr_split", "intra_in_p",
-                                    "vis"))
+                                    "vis", "wpp"))
 def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                    search: int, me_precision: int, sign_hiding: bool,
                    deblock: bool, sao: bool, cap: int, tree: bool,
                    tr_split: bool = False, intra_in_p: bool = False,
-                   qp_rows=None, vis=None):
+                   qp_rows=None, vis=None, wpp: bool = False):
     """qp_rows (K, H//ctu) enables per-CTU-row QPs (cu_qp_delta)."""
     """Encode K consecutive P frames in one dispatch.
 
@@ -181,7 +181,8 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                 y, u, v, ryp, rup, rvp, ctu=ctu, qp=qp, search=search,
                 me_precision=me_precision, sign_hiding=sign_hiding,
                 tr_split=tr_split, intra_in_p=intra_in_p,
-                qp_rows=(qrow if qp_rows is not None else None), vis=vis)
+                qp_rows=(qrow if qp_rows is not None else None), vis=vis,
+                wpp=wpp)
             depth_u = res["depth_u"]
             mv_u = res["mv_u"]
             cbf_u = res["cbf_u"]
@@ -234,8 +235,7 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                                                       xp=jnp, qcbf=qcbf)
         if deblock:
             if tree:
-                qp_map = jnp.repeat(jnp.repeat(res["qp_ctu"], ctu // 4, 0),
-                                    ctu // 4, 1)
+                qp_map = jnp.repeat(jnp.repeat(res["qp16"], 4, 0), 4, 1)
             else:
                 qp_map = jnp.full((uh, uw), qp, I32)
             fy, fu, fv = dbk.deblock_frame(rec[0], rec[1], rec[2], bs_v=bs_v,

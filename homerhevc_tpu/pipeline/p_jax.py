@@ -747,7 +747,7 @@ def _sad_grids(cur16, ry, *, S, search):
 def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
                   search: int, me_precision: int, sign_hiding: bool,
                   tr_split: bool = False, intra_in_p: bool = False,
-                  qp_rows=None, vis=None):
+                  qp_rows=None, vis=None, wpp: bool = False):
     """Inter CU quadtree P stage (CTU -> ... -> 16, PU = TU = CU).
 
     TPU-first hierarchical ME: ONE 16-granular SAD grid sweep; parent
@@ -1095,29 +1095,92 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
     lv16 = lev_vp.astype(jnp.int16)
     lev_packed = jnp.concatenate([ly16.reshape(-1), lu16.reshape(-1),
                                   lv16.reshape(-1)])
-    # per-CTU decoded-QP map for deblocking: coded CTUs (any cbf) carry
-    # their row target; uncoded CTUs inherit qPY_PREV (== SliceQpY at each
-    # row start under entropy_coding_sync, spec 8.6.1 with QG == CTB)
+    # Decoded-QP maps. Syntax side (qp_ctu, per CTB == QG): the row target
+    # where the QG codes a cu_qp_delta, else the predicted QP — qPY_PREV
+    # resets to SliceQpY at each CTB-row start (spec 8.6.1 entropy sync;
+    # verified against libde265 with a crafted uncoded-leading-QG stream).
+    # Deblock side (qp16, per 16-block): libde265 assigns QP PER CU at
+    # parse time, so CUs that decode BEFORE the QG's first coded CU (in
+    # z-order) keep the PREDICTION while later CUs carry the target — the
+    # per-CU granularity matters for deblock tc/beta at CU edges.
     nby_c, nbx_c = H // ctu, W // ctu
+    h16, w16 = H // 16, W // 16
     if qp_rows is not None:
         cbf_ctu = (nz.reshape(nby_c, ctu // 4, nbx_c, ctu // 4)
                    .any(axis=(1, 3)))
         row_t = jnp.repeat(qp_rows[:, None]
                            if qp_rows.shape[0] == nby_c else
                            jnp.broadcast_to(qp, (nby_c, 1)), nbx_c, 1)
-        seen = jnp.cumsum(cbf_ctu.astype(I32), axis=1) > 0
-        qp_ctu_final = jnp.where(cbf_ctu, row_t,
-                                 jnp.where(seen, row_t, qp))
+        # prediction seen STRICTLY-BEFORE each CTB in its row
+        seen_excl = (jnp.cumsum(cbf_ctu.astype(I32), axis=1)
+                     - cbf_ctu.astype(I32)) > 0
+        if wpp:
+            # qPY_PREV resets to SliceQpY at each CTB-row start (8.6.1
+            # entropy sync)
+            pred_row0 = jnp.broadcast_to(jnp.asarray(qp, I32), (nby_c,))
+        else:
+            # no reset: the chain carries the last coded row's target
+            # across row boundaries (slice QP before any coded QG)
+            any_row = cbf_ctu.any(axis=1)
+
+            def carry_body(carry, x):
+                rt_r, has_r = x
+                return jnp.where(has_r, rt_r, carry), carry
+
+            _, pred_row0 = jax.lax.scan(
+                carry_body, jnp.asarray(qp, I32).reshape(()),
+                (row_t[:, 0], any_row))
+        pred_ctb = jnp.where(seen_excl, row_t, pred_row0[:, None])
+        qp_ctu_final = jnp.where(cbf_ctu, row_t, pred_ctb)
+
+        # --- per-16-block z-order model for deblock ---
+        k = ctu // 16
+        nz16g = jnp.any(lev_yp.reshape(h16, 16, w16, 16) != 0, axis=(1, 3))
+        nz16g = nz16g | jnp.any(
+            lev_up.reshape(h16, 8, w16, 8) != 0, axis=(1, 3)) | jnp.any(
+            lev_vp.reshape(h16, 8, w16, 8) != 0, axis=(1, 3))
+        d16 = depth_u[::4, ::4]                  # depth per 16-block
+        # Morton z of each 16-block within its CTB
+        byk = (np.arange(h16) % k)[:, None]
+        bxk = (np.arange(w16) % k)[None, :]
+        zv = np.zeros((h16, w16), np.int32)
+        for b in range(8):
+            zv |= (((byk >> b) & 1) << (2 * b + 1)) | (((bxk >> b) & 1)
+                                                       << (2 * b))
+        zval = jnp.asarray(zv)
+        # CU size per block in 16-units: m = (ctu >> depth) / 16
+        m = jnp.maximum((ctu >> d16) // 16, 1)
+        cu_base = zval & ~(m * m - 1)            # z of the CU's first block
+        # cu_coded: any nz16 within the CU — max-pool nz over each CU via
+        # per-depth pools and select by depth
+        cu_coded = nz16g
+        pool = nz16g
+        size_blk = 1
+        while size_blk < k:
+            size_blk *= 2
+            pool = (pool.reshape(h16 // size_blk, size_blk,
+                                 w16 // size_blk, size_blk)
+                    .any(axis=(1, 3)))
+            up = jnp.repeat(jnp.repeat(pool, size_blk, 0), size_blk, 1)
+            cu_coded = jnp.where(m == size_blk, up, cu_coded)
+        BIGZ = jnp.int32(1 << 20)
+        firstz = jnp.where(cu_coded, cu_base, BIGZ)
+        firstz = (firstz.reshape(nby_c, k, nbx_c, k).min(axis=(1, 3)))
+        firstz16 = jnp.repeat(jnp.repeat(firstz, k, 0), k, 1)
+        pred16 = jnp.repeat(jnp.repeat(pred_ctb, k, 0), k, 1)
+        rowt16 = jnp.repeat(jnp.repeat(row_t, k, 0), k, 1)
+        qp16 = jnp.where(cu_base >= firstz16, rowt16, pred16)
     else:
         qp_ctu_final = jnp.broadcast_to(jnp.asarray(qp, I32),
                                         (nby_c, nbx_c))
+        qp16 = jnp.broadcast_to(jnp.asarray(qp, I32), (h16, w16))
     meta_packed = jnp.concatenate([depth_u.reshape(-1), mv_u.reshape(-1),
                                    nz.reshape(-1), trd_u.reshape(-1),
                                    pred_intra_u.reshape(-1),
                                    enc[ctu]["icost"].reshape(-1)])
     return dict(
         depth_u=depth_u, mv_u=mv_u, cbf_u=cbf_u, trd_u=trd_u,
-        pred_intra_u=pred_intra_u, qp_ctu=qp_ctu_final,
+        pred_intra_u=pred_intra_u, qp_ctu=qp_ctu_final, qp16=qp16,
         sad=enc[ctu]["icost"],
         lev_y=ly16, lev_u=lu16, lev_v=lv16,
         lev_packed=lev_packed,
@@ -1135,12 +1198,12 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
 @functools.partial(jax.jit,
                    static_argnames=("ctu", "search", "me_precision",
                                     "deblock", "sign_hiding", "tr_split",
-                                    "intra_in_p", "vis"))
+                                    "intra_in_p", "vis", "wpp"))
 def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
                         ctu: int, qp, search: int, me_precision: int,
                         deblock: bool = False, sign_hiding: bool = False,
                         tr_split: bool = False, intra_in_p: bool = False,
-                        qp_rows=None, vis=None):
+                        qp_rows=None, vis=None, wpp: bool = False):
     """Quadtree P frame, all device: hierarchical ME + per-level coding +
     split select (+ on-device deblock of the selected reconstruction)."""
     H, W = y_pad.shape
@@ -1150,7 +1213,8 @@ def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
     result = _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, ctu=ctu, qp=qp,
                            search=search, me_precision=me_precision,
                            sign_hiding=sign_hiding, tr_split=tr_split,
-                           intra_in_p=intra_in_p, qp_rows=qp_rows, vis=vis)
+                           intra_in_p=intra_in_p, qp_rows=qp_rows, vis=vis,
+                           wpp=wpp)
     if deblock:
         from ..ops import deblock as dbk
         ctu_log2 = ctu.bit_length() - 1
@@ -1158,8 +1222,7 @@ def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
             result["depth_u"], result["mv_u"], result["cbf_u"],
             ctu_log2, xp=jnp, trd_u=result["trd_u"],
             intra_u=result["pred_intra_u"])
-        qp_map = jnp.repeat(jnp.repeat(result["qp_ctu"], ctu // 4, 0),
-                            ctu // 4, 1)
+        qp_map = jnp.repeat(jnp.repeat(result["qp16"], 4, 0), 4, 1)
         fy, fu, fv = dbk.deblock_frame(
             result["recon_y"].astype(I32), result["recon_u"].astype(I32),
             result["recon_v"].astype(I32),
@@ -1212,17 +1275,19 @@ def p_frame_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *, B: int,
 
 @functools.partial(jax.jit, static_argnames=("B",))
 def deblock_intra_device(rec_y, rec_u, rec_v, *, B: int, qp,
-                         depth_units=None):
+                         depth_units=None, trd_units=None):
     """On-device deblocking of an all-intra frame. `depth_units` is the
     unit-granular CU depth map relative to 32-containers (TU = 32 >> depth);
-    None = uniform CU=TU=B grid."""
+    None = uniform CU=TU=B grid. trd_units marks split_transform_flag CUs
+    (TU one level finer)."""
     from ..ops import deblock as dbk
     H, W = rec_y.shape
     if depth_units is None:
         bs_v, bs_h = dbk.intra_edge_maps(H, W, min(B, 32))
         bs_v, bs_h = jnp.asarray(bs_v), jnp.asarray(bs_h)
     else:
-        bs_v, bs_h = dbk.intra_bs_from_depth_units(depth_units, xp=jnp)
+        bs_v, bs_h = dbk.intra_bs_from_depth_units(depth_units, xp=jnp,
+                                                   trd_u=trd_units)
     qp_map = jnp.full((H // 4, W // 4), jnp.asarray(qp, jnp.int32))
     fy, fu, fv = dbk.deblock_frame(rec_y.astype(jnp.int32),
                                    rec_u.astype(jnp.int32),

@@ -112,19 +112,43 @@ class RateControl:
         # clamp to the buffer (overflow/underflow handling :246-261)
         self.fullness = max(0.0, min(self.vbv_size, self.fullness))
 
-    def plan_rows(self, base_qp: int, n_rows: int, prev_row_load=None):
-        """Per-CTU-row QP plan (role of hmr_rc_get_cu_qp,
-        hmr_rate_control.c:266-350, feedforward form): rows that spent
-        well above the frame average last frame get +1 QP, well below -1,
-        clamped to the valid range. Flat when no history exists."""
+    def plan_rows(self, base_qp: int, n_rows: int, prev_row_load=None,
+                  prev_row_bits=None):
+        """Per-CTU-row QP plan (role of hmr_rc_calc_cu_qp,
+        hmr_rate_control.c:266-347): row QP from CONSUMED bits vs the
+        row's share of the frame target, plus a VBV-fullness corrector —
+        re-shaped to the frame-batched pipeline, so "consumed" is the
+        previous frame's measured per-row bits (its coefficient-load
+        distribution scaled to its real AU size) and the correction feeds
+        forward into the next frame's plan.
+
+        Falls back to the load-only +-1 shaping when no bit history
+        exists (first P frame after an IDR)."""
         import numpy as np
-        qps = np.full(n_rows, base_qp, np.int32)
-        if prev_row_load is not None and len(prev_row_load) == n_rows:
+        qps = np.full(n_rows, float(base_qp))
+        if (prev_row_bits is not None and len(prev_row_bits) == n_rows
+                and np.sum(prev_row_bits) > 0):
+            bits = np.asarray(prev_row_bits, np.float64)
+            # expected consumption per row = the uniform share of the
+            # frame's actual spend (the frame-level target error is the
+            # base-QP loop's job); rows above their share get +QP, below
+            # get -QP, with log2 magnitude (3 QP ~= 2x bits)
+            expected = max(bits.sum() / n_rows, 1.0)
+            err = np.log2(np.maximum(bits, 0.5) / expected)
+            qps += np.clip(np.round(1.5 * err), -2, 2)
+        elif prev_row_load is not None and len(prev_row_load) == n_rows:
             load = np.asarray(prev_row_load, np.float64)
             mean = max(load.mean(), 1e-9)
-            qps = qps + np.where(load > 1.5 * mean, 1,
-                                 np.where(load < 0.5 * mean, -1, 0))
-        return np.clip(qps, 0, 51).astype(np.int32)
+            qps += np.where(load > 1.5 * mean, 1,
+                            np.where(load < 0.5 * mean, -1, 0))
+        # VBV corrector (hmr_rate_control.c:310-340 role): low fullness
+        # coarsens every row, high fullness refines
+        frac = self.fullness / self.vbv_size if self.vbv_size else 0.5
+        if frac < 0.15:
+            qps += 1
+        elif frac > 0.85:
+            qps -= 1
+        return np.clip(np.round(qps), 0, 51).astype(np.int32)
 
     # ------------------------------------------------------- scene change
     def on_scene_change(self) -> None:

@@ -36,7 +36,9 @@ def test_ippp_deblocked():
 def test_ippp_wider_motion():
     frames, res = run_seq(128, 64, 5, 34, seed=2, deblocking=True, search=12)
     y_last = frames[-1][0]
-    assert psnr(y_last, res.recons[-1][0]) > 27
+    # quality smoke guard; 26.5 (was 27.0) after the structure-aware TB bit
+    # costs deliberately moved the QP34 RD point toward fewer bits
+    assert psnr(y_last, res.recons[-1][0]) > 26.5
 
 
 def test_ippp_qp_sweep():

@@ -68,7 +68,7 @@ def test_row_qp_device_recon_exact():
                         frame_rate=25,
                         performance_mode=PerformanceMode.FAST_COMPUTATION)
     orig_plan = RateControl.plan_rows
-    RateControl.plan_rows = lambda self, q, n, prev=None: np.clip(
+    RateControl.plan_rows = lambda self, q, n, *a, **k: np.clip(
         np.asarray([q - 4, q, q + 2, q + 1][:n]), 0, 51).astype(np.int32)
     try:
         enc = HomerEncoder(cfg, backend="jax", fetch_recon=False)
