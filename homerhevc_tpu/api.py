@@ -98,6 +98,12 @@ class HomerEncoder:
         # FASTER/FASTEST: fixed CU = CTU grid (the Pallas fast path).
         self.inter_split = (c.performance_mode
                             <= PerformanceMode.FAST_COMPUTATION)
+        # FULL only: the quadtree descends one level further to 8x8 inter
+        # CUs — four independent MVs per 16x16, the spec-legal carrier of
+        # the reference's PART_NxN inter role (with min_cu 8 in the SPS,
+        # 7.4.9.5 forbids inter NxN itself); hmr_motion_inter.c:2507.
+        self.inter_cu8 = (c.performance_mode
+                          == PerformanceMode.FULL_COMPUTATION)
         if self.ctu64 and backend != "jax":
             raise ValueError("cu_size=64 requires the jax backend "
                              "(z-order intra availability)")
@@ -618,7 +624,7 @@ class HomerEncoder:
                 intra_in_p=(self.inter_split and ctu == 32),
                 qp_rows=(None if qp_rows is None
                          else jnp.asarray(qp_rows, jnp.int32)),
-                vis=(c.height, c.width), wpp=c.wpp)
+                vis=(c.height, c.width), wpp=c.wpp, cu8=self.inter_cu8)
         self._ref = (fy, fu, fv)
         return wires, denses, self._last_row_plans
 
@@ -648,7 +654,7 @@ class HomerEncoder:
         cap = self._chunk_cap
         for row_i, (fi, qp) in enumerate(zip(idxs, qps)):
             w = p_chunk.unpack_wire(wires_h[row_i], self.ph, self.pw, ctu,
-                                    cap)
+                                    cap, fine=self.inter_cu8)
             if c.reinit_gop_on_scene_change:
                 ms = float(w["sad"].astype(np.int64).mean())
                 if ms / (ctu * ctu) > SCENE_SAD_PER_PIXEL:
@@ -685,10 +691,11 @@ class HomerEncoder:
                              .reshape(self.ph // 2, self.pw // 2)
                              .astype(np.int32))
             uh, uw = self.ph // 4, self.pw // 4
-            depth_u = np.repeat(np.repeat(w["depth16"], 4, 0), 4, 1)
-            trd_u = np.repeat(np.repeat(w["trd16"], 4, 0), 4, 1)
-            intra_u = np.repeat(np.repeat(w["intra16"], 4, 0), 4, 1)
-            mv_u = np.repeat(np.repeat(w["mv16"], 4, 0), 4, 1)
+            g = w["gran"]
+            depth_u = np.repeat(np.repeat(w["depth16"], g, 0), g, 1)
+            trd_u = np.repeat(np.repeat(w["trd16"], g, 0), g, 1)
+            intra_u = np.repeat(np.repeat(w["intra16"], g, 0), g, 1)
+            mv_u = np.repeat(np.repeat(w["mv16"], g, 0), g, 1)
             if nz is None:
                 nz_y = np.any(lev_y.reshape(uh, 4, uw, 4) != 0, axis=(1, 3))
                 nz_u = np.any(lev_u.reshape(uh, 2, uw, 2) != 0, axis=(1, 3))
@@ -768,7 +775,7 @@ class HomerEncoder:
                 intra_in_p=(ctu == 32), vis=(c.height, c.width),
                 qp_rows=(None if qp_rows is None
                          else jnp.asarray(qp_rows, jnp.int32)),
-                wpp=c.wpp)
+                wpp=c.wpp, cu8=self.inter_cu8)
         uh, uw = self.ph // 4, self.pw // 4
         nby, nbx = self.ph // ctu, self.pw // ctu
         npix = self.ph * self.pw

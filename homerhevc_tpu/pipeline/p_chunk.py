@@ -75,16 +75,18 @@ def _unpk_params(w):
     return par, ((w >> 25) & 1).astype(bool), ((w >> 26) & 1).astype(bool)
 
 
-def wire_layout(H: int, W: int, ctu: int, cap: int):
+def wire_layout(H: int, W: int, ctu: int, cap: int, fine: bool = False):
     """Static per-frame wire layout: list of (name, shape) in int32 words.
 
-    dec16: per-16-block packed depth(2b) | mvx+2048(12b) | mvy+2048(12b);
+    dec16: per-16-block (per-8 when `fine` — 8x8 inter CUs enabled) packed
+    depth(2b) | mvx+2048(12b) | mvy+2048(12b);
     sao_pp: packed SAO word per (component, CTU) — see _pk_params."""
-    h16, w16 = H // 16, W // 16
+    g = 8 if fine else 16
+    hg, wg = H // g, W // g
     nby, nbx = H // ctu, W // ctu
     return [
         ("cnt", (1,)),
-        ("dec16", (h16, w16)),
+        ("dec16", (hg, wg)),
         ("sad", (nby, nbx)),
         ("sao_pp", (3, nby, nbx)),
         ("idx", (cap,)),
@@ -92,12 +94,15 @@ def wire_layout(H: int, W: int, ctu: int, cap: int):
     ]
 
 
-def unpack_wire(row: np.ndarray, H: int, W: int, ctu: int, cap: int):
+def unpack_wire(row: np.ndarray, H: int, W: int, ctu: int, cap: int,
+                fine: bool = False):
     """Host-side wire row -> dict of numpy arrays: depth16, mv16, sad,
-    sao params (+ merge flags), idx, vals (int16), cnt."""
+    sao params (+ merge flags), idx, vals (int16), cnt. With `fine`, the
+    decision grids are 8-granular (keys keep the *16 names; the caller
+    upsamples by `gran()`)."""
     out = {}
     o = 0
-    for name, shape in wire_layout(H, W, ctu, cap):
+    for name, shape in wire_layout(H, W, ctu, cap, fine):
         n = int(np.prod(shape))
         out[name] = row[o:o + n].reshape(shape)
         o += n
@@ -108,6 +113,7 @@ def unpack_wire(row: np.ndarray, H: int, W: int, ctu: int, cap: int):
     out["intra16"] = ((d >> 3) & 1).astype(np.int32)
     out["mv16"] = np.stack([((d >> 4) & 4095) - 2048,
                             ((d >> 16) & 4095) - 2048], -1).astype(np.int32)
+    out["gran"] = 2 if fine else 4
     return out
 
 
@@ -152,12 +158,13 @@ def _sao_device(cur, rec, ctu: int, qp: int, qp_c: int):
                    static_argnames=("ctu", "search", "me_precision",
                                     "sign_hiding", "deblock", "sao", "cap",
                                     "tree", "tr_split", "intra_in_p",
-                                    "vis", "wpp"))
+                                    "vis", "wpp", "cu8"))
 def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                    search: int, me_precision: int, sign_hiding: bool,
                    deblock: bool, sao: bool, cap: int, tree: bool,
                    tr_split: bool = False, intra_in_p: bool = False,
-                   qp_rows=None, vis=None, wpp: bool = False):
+                   qp_rows=None, vis=None, wpp: bool = False,
+                   cu8: bool = False):
     """qp_rows (K, H//ctu) enables per-CTU-row QPs (cu_qp_delta)."""
     """Encode K consecutive P frames in one dispatch.
 
@@ -182,7 +189,7 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                 me_precision=me_precision, sign_hiding=sign_hiding,
                 tr_split=tr_split, intra_in_p=intra_in_p,
                 qp_rows=(qrow if qp_rows is not None else None), vis=vis,
-                wpp=wpp)
+                wpp=wpp, cu8=cu8)
             depth_u = res["depth_u"]
             mv_u = res["mv_u"]
             cbf_u = res["cbf_u"]
@@ -267,11 +274,12 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
         vals32 = jax.lax.bitcast_convert_type(
             vals.reshape(cap, 8, 2), I32).reshape(cap, 8)
 
-        dec16 = ((depth_u[::4, ::4] & 3)
-                 | ((trd_u[::4, ::4] & 1) << 2)
-                 | ((intra_u[::4, ::4] & 1) << 3)
-                 | ((mv_u[::4, ::4, 0] + 2048) << 4)
-                 | ((mv_u[::4, ::4, 1] + 2048) << 16))
+        st = 2 if cu8 else 4           # 8- or 16-granular decision grid
+        dec16 = ((depth_u[::st, ::st] & 3)
+                 | ((trd_u[::st, ::st] & 1) << 2)
+                 | ((intra_u[::st, ::st] & 1) << 3)
+                 | ((mv_u[::st, ::st, 0] + 2048) << 4)
+                 | ((mv_u[::st, ::st, 1] + 2048) << 16))
         wire = jnp.concatenate([
             cnt.reshape(1),
             dec16.reshape(-1),

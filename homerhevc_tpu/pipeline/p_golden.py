@@ -56,29 +56,37 @@ def _bits(v: int) -> int:
 
 def integer_search_hier(blk: np.ndarray, ref_pad: np.ndarray, x0: int,
                         y0: int, search: int, lam_fx: int,
-                        ref4: np.ndarray = None, ref2=None):
+                        ref4: np.ndarray = None, ref2=None, seed=None):
     """Golden twin of p_jax._me_hier for one block: L2 coarse sweep over
     4:1 box-summed planes, then L0 full-res +-3 over a zero anchor + the
     pyramid pick. First-minimum in (candidate, dy, dx) raster order at
     every level — bit-identical to the device pipeline. (ref2 kept for
-    call-site compatibility; unused.)"""
+    call-site compatibility; unused.)
+
+    seed=(cy, cx): skip L2 and refine around the given integer MV — the
+    8x8-CU level, which the device seeds from its parent 16-block's pick
+    clipped to +-search."""
     size = blk.shape[0]
-    R4 = search // 4
-    n4 = 2 * R4 + 1
-    P4 = PAD // 4
-    if ref4 is None:
-        ref4 = _pool(ref_pad, 4)
-    b4 = _pool(blk, 4)
-    s4 = size // 4
-    region4 = ref4[y0 // 4 + P4 - R4:y0 // 4 + P4 + R4 + s4,
-                   x0 // 4 + P4 - R4:x0 // 4 + P4 + R4 + s4]
-    wins = np.lib.stride_tricks.sliding_window_view(region4, (s4, s4))
-    sads = np.abs(wins - b4).sum(axis=(-1, -2))                 # (n4, n4)
-    d4 = np.arange(-R4, R4 + 1)
-    bits = np.array([_bits(16 * int(c)) for c in d4])
-    cost4 = sads + ((lam_fx * (bits[:, None] + bits[None, :])) >> 8)
-    k = int(np.argmin(cost4))               # first min: smallest dy4, dx4
-    cy, cx = 4 * int(d4[k // n4]), 4 * int(d4[k % n4])
+    if seed is not None:
+        cy = int(np.clip(seed[0], -search, search))
+        cx = int(np.clip(seed[1], -search, search))
+    else:
+        R4 = search // 4
+        n4 = 2 * R4 + 1
+        P4 = PAD // 4
+        if ref4 is None:
+            ref4 = _pool(ref_pad, 4)
+        b4 = _pool(blk, 4)
+        s4 = size // 4
+        region4 = ref4[y0 // 4 + P4 - R4:y0 // 4 + P4 + R4 + s4,
+                       x0 // 4 + P4 - R4:x0 // 4 + P4 + R4 + s4]
+        wins = np.lib.stride_tricks.sliding_window_view(region4, (s4, s4))
+        sads = np.abs(wins - b4).sum(axis=(-1, -2))             # (n4, n4)
+        d4 = np.arange(-R4, R4 + 1)
+        bits = np.array([_bits(16 * int(c)) for c in d4])
+        cost4 = sads + ((lam_fx * (bits[:, None] + bits[None, :])) >> 8)
+        k = int(np.argmin(cost4))           # first min: smallest dy4, dx4
+        cy, cx = 4 * int(d4[k // n4]), 4 * int(d4[k % n4])
 
     # L0: full-res +-3 over [zero anchor, pyramid pick] in that order
     best = None

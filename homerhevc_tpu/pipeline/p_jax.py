@@ -669,36 +669,25 @@ def _me_hier(cur, ry, *, sizes, search, lam):
          for dy in range(-3, 4) for dx in range(-3, 4)], I32)
     zcost_off = ((lam * zbits) >> 8)                # (49,)
 
-    out = {}
-    gS, zS = g16c, z16
-    S = 16
-    for size in sorted(sizes):
-        while S < size:                             # pool coarse to size
-            nn, py, px = gS.shape
-            gS = gS.reshape(nn, py // 2, 2, px // 2, 2).sum(axis=(2, 4))
-            zS = zS.reshape(49, py // 2, 2, px // 2, 2).sum(axis=(2, 4))
-            S *= 2
-        k = jnp.argmin(gS + mvcost4[:, None, None], axis=0).astype(I32)
-        cy = 4 * (k // n4 - R4)                     # (nby, nbx) full-pel
-        cx = 4 * (k % n4 - R4)
-        nby, nbx = cy.shape
+    def refine(size, vy, vx, zS, margin=3):
+        """L0 +-3 refine over [zero anchor, (vy, vx) seed] at `size`.
+        margin bounds |seed| beyond `search` (parent-seeded levels)."""
+        nby, nbx = H // size, W // size
         nb = nby * nbx
         bi = jnp.arange(nb, dtype=I32)
         r = bi // nbx
         c = bi % nbx
-        vy = cy.reshape(-1)
-        vx = cx.reshape(-1)
 
         # zero-anchor candidate costs from the shared static grids
         zc = zS.reshape(49, nb) + zcost_off[:, None]
 
-        # pyramid-pick refine: ONE per-block window gather for this size
+        # seed refine: ONE per-block window gather for this size
         blk = (cur16.reshape(nby, size, nbx, size).transpose(1, 3, 0, 2)
                .reshape(size, size, nb))
         win = _gather_win(
             ry, r * size + vy - 3 + PAD, c * size + vx - 3 + PAD,
             nby=nby, nbx=nbx, G=size + 6, S_row=size,
-            lo=PAD - search - 3, band_h=2 * (search + 3) + size + 6)
+            lo=PAD - search - margin, band_h=2 * (search + margin) + size + 6)
         cost_l = [zc[di] for di in range(49)]       # zero anchor first
         for dy in range(-3, 4):
             for dx in range(-3, 4):
@@ -710,14 +699,41 @@ def _me_hier(cur, ry, *, sizes, search, lam):
         j = jnp.argmin(cost98, axis=0).astype(I32)
         icost = jnp.min(cost98, axis=0)             # == cost at j
         # candidate geometry is arithmetic in j (zero anchor for j < 49,
-        # pyramid pick + delta for j >= 49) — no gather needed
+        # seed + delta for j >= 49) — no gather needed
         jj = j % 49
         dy = jj // 7 - 3
         dx = jj % 7 - 3
         is_pyr = j >= 49
         ivy = jnp.where(is_pyr, vy + dy, dy).reshape(nby, nbx)
         ivx = jnp.where(is_pyr, vx + dx, dx).reshape(nby, nbx)
-        out[size] = (ivy, ivx, icost.reshape(nby, nbx))
+        return ivy, ivx, icost.reshape(nby, nbx)
+
+    out = {}
+    gS, zS = g16c, z16
+    S = 16
+    for size in sorted(s for s in sizes if s >= 16):
+        while S < size:                             # pool coarse to size
+            nn, py, px = gS.shape
+            gS = gS.reshape(nn, py // 2, 2, px // 2, 2).sum(axis=(2, 4))
+            zS = zS.reshape(49, py // 2, 2, px // 2, 2).sum(axis=(2, 4))
+            S *= 2
+        k = jnp.argmin(gS + mvcost4[:, None, None], axis=0).astype(I32)
+        cy = 4 * (k // n4 - R4)                     # (nby, nbx) full-pel
+        cx = 4 * (k % n4 - R4)
+        out[size] = refine(size, cy.reshape(-1), cx.reshape(-1), zS)
+    if 8 in sizes:
+        # 8x8 CUs (depth below 16): seed each 8-block from its parent
+        # 16-block's integer pick and refine +-3 against the zero anchor —
+        # same candidate ordering as the coarser levels.
+        ivy16, ivx16, _ = out[16]
+        # clip the seed so the refined MV keeps the coarser levels' bound
+        # (|mv| <= search + 3, inside the PAD'd plane + interp support)
+        vy8 = jnp.clip(jnp.repeat(jnp.repeat(ivy16, 2, 0), 2, 1),
+                       -search, search).reshape(-1)
+        vx8 = jnp.clip(jnp.repeat(jnp.repeat(ivx16, 2, 0), 2, 1),
+                       -search, search).reshape(-1)
+        z8 = _sad_grids(cur16, ry, S=8, search=3)
+        out[8] = refine(8, vy8, vx8, z8)
     return out
 
 
@@ -747,7 +763,8 @@ def _sad_grids(cur16, ry, *, S, search):
 def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
                   search: int, me_precision: int, sign_hiding: bool,
                   tr_split: bool = False, intra_in_p: bool = False,
-                  qp_rows=None, vis=None, wpp: bool = False):
+                  qp_rows=None, vis=None, wpp: bool = False,
+                  cu8: bool = False):
     """Inter CU quadtree P stage (CTU -> ... -> 16, PU = TU = CU).
 
     TPU-first hierarchical ME: ONE 16-granular SAD grid sweep; parent
@@ -762,7 +779,7 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
     lam = jnp.asarray(tables.LAMBDA_ME_FX_P)[qp]
     lamf = jnp.asarray(tables.LAMBDA_FX_P)[qp]
     cur = y_pad.astype(I32)
-    sizes = [16, 32] + ([64] if ctu == 64 else [])
+    sizes = ([8] if cu8 else []) + [16, 32] + ([64] if ctu == 64 else [])
 
     if search > HIER_THRESHOLD:
         me = _me_hier(cur, ry, sizes=sizes, search=search, lam=lam)
@@ -776,6 +793,9 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
 
         grids = {16: _sad_grids(cur.astype(jnp.int16), ry, S=16,
                                 search=search)}
+        if cu8:
+            grids[8] = _sad_grids(cur.astype(jnp.int16), ry, S=8,
+                                  search=search)
         S = 32
         while S <= ctu:
             prev = grids[S // 2]
@@ -805,7 +825,17 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
         return a.reshape(py // 2, 2, px // 2, 2).sum(axis=(1, 3))
 
     ov = ((lamf >> 4) * 10) >> 4                    # split overhead proxy
-    c16s = sum4(enc[16]["cost"]) + ov
+    if cu8:
+        # deepest level: four 8x8 CUs vs one 16 (role of the reference's
+        # PART_NxN inter evaluation at max depth, hmr_motion_inter.c:2507
+        # — with min_cu 8 in the SPS, spec 7.4.9.5 forbids inter PART_NxN,
+        # so four 8x8 2Nx2N CUs carry the same 4-MVs-per-16x16 role)
+        c8s = sum4(enc[8]["cost"]) + ov
+        split16 = c8s < enc[16]["cost"]
+        c16eff = jnp.where(split16, c8s, enc[16]["cost"])
+    else:
+        c16eff = enc[16]["cost"]
+    c16s = sum4(c16eff) + ov
     split32 = c16s < enc[32]["cost"]
     c32eff = jnp.where(split32, c16s, enc[32]["cost"])
     if ctu == 64:
@@ -822,6 +852,10 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
         depth_u = jnp.where(~m64, 0, jnp.where(~m32, 1, 2)).astype(I32)
     else:
         depth_u = jnp.where(upu(split32, 32), 1, 0).astype(I32)
+    if cu8:
+        deepest = depth_u == (2 if ctu == 64 else 1)
+        depth_u = jnp.where(deepest & upu(split16, 16), depth_u + 1,
+                            depth_u)
 
     def mv_units(e, S):
         return jnp.stack([upu(e["mvx"], S), upu(e["mvy"], S)], -1)
@@ -836,13 +870,20 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
         return upu(jnp.any(lv != 0, axis=(-1, -2)), S)
 
     def sel_u(vals):                                # {S: unit arr} by depth
+        d16 = 2 if ctu == 64 else 1                 # depth of the 16 level
         if ctu == 64:
             out = jnp.where((depth_u == 0) if vals[64].ndim == 2
                             else (depth_u == 0)[..., None], vals[64], vals[32])
-            return jnp.where((depth_u <= 1) if vals[16].ndim == 2
-                             else (depth_u <= 1)[..., None], out, vals[16])
-        return jnp.where((depth_u == 0) if vals[32].ndim == 2
-                         else (depth_u == 0)[..., None], vals[32], vals[16])
+            out = jnp.where((depth_u <= 1) if vals[16].ndim == 2
+                            else (depth_u <= 1)[..., None], out, vals[16])
+        else:
+            out = jnp.where((depth_u == 0) if vals[32].ndim == 2
+                            else (depth_u == 0)[..., None], vals[32], vals[16])
+        if cu8:
+            deep = depth_u > d16
+            out = jnp.where(deep if vals[8].ndim == 2 else deep[..., None],
+                            vals[8], out)
+        return out
 
     mv_u = sel_u({S: mv_units(e, S) for S, e in enc.items()})
     cbf_u = sel_u({S: cbf_units(e, S) for S, e in enc.items()})
@@ -859,10 +900,15 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
     def sel_plane(key, sub):                        # sub: 4 luma, 2 chroma
         d_px = jnp.repeat(jnp.repeat(depth_u, sub, axis=0), sub, axis=1)
         ps = {S: to_plane(e[key]) for S, e in enc.items()}
+        d16 = 2 if ctu == 64 else 1
         if ctu == 64:
             out = jnp.where(d_px == 0, ps[64], ps[32])
-            return jnp.where(d_px <= 1, out, ps[16])
-        return jnp.where(d_px == 0, ps[32], ps[16])
+            out = jnp.where(d_px <= 1, out, ps[16])
+        else:
+            out = jnp.where(d_px == 0, ps[32], ps[16])
+        if cu8:
+            out = jnp.where(d_px > d16, ps[8], out)
+        return out
 
     lev_yp = sel_plane("lev_y", 4)
     lev_up = sel_plane("lev_u", 2)
@@ -1198,12 +1244,13 @@ def _p_stage_tree(y_pad, u_pad, v_pad, ry, ru, rv, *, ctu: int, qp,
 @functools.partial(jax.jit,
                    static_argnames=("ctu", "search", "me_precision",
                                     "deblock", "sign_hiding", "tr_split",
-                                    "intra_in_p", "vis", "wpp"))
+                                    "intra_in_p", "vis", "wpp", "cu8"))
 def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
                         ctu: int, qp, search: int, me_precision: int,
                         deblock: bool = False, sign_hiding: bool = False,
                         tr_split: bool = False, intra_in_p: bool = False,
-                        qp_rows=None, vis=None, wpp: bool = False):
+                        qp_rows=None, vis=None, wpp: bool = False,
+                        cu8: bool = False):
     """Quadtree P frame, all device: hierarchical ME + per-level coding +
     split select (+ on-device deblock of the selected reconstruction)."""
     H, W = y_pad.shape
@@ -1214,7 +1261,7 @@ def p_frame_tree_device(y_pad, u_pad, v_pad, ref_y, ref_u, ref_v, *,
                            search=search, me_precision=me_precision,
                            sign_hiding=sign_hiding, tr_split=tr_split,
                            intra_in_p=intra_in_p, qp_rows=qp_rows, vis=vis,
-                           wpp=wpp)
+                           wpp=wpp, cu8=cu8)
     if deblock:
         from ..ops import deblock as dbk
         ctu_log2 = ctu.bit_length() - 1

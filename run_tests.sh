@@ -17,3 +17,5 @@ $ENV python -m pytest tests/test_inter.py tests/test_intra_jax.py \
     tests/test_native_entropy.py tests/test_p_jax.py tests/test_p_tree.py \
     tests/test_row_qp.py tests/test_sao.py tests/test_scene_change.py \
     tests/test_sign_hiding.py tests/test_tables.py tests/test_wpp.py -q "$@"
+$ENV python -m pytest tests/test_rd_mode.py tests/test_intra_tu_split.py \
+    tests/test_multihost.py -q "$@"
