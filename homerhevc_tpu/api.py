@@ -290,13 +290,31 @@ class HomerEncoder:
                         rd_mode=int(c.rd_mode), tu_depth=tu_depth)
                 depth_offset = 0
             with self.prof.probe("intra.fetch+maps"):
+                from .pipeline import intra_jax as ij
+                from .pipeline import p_chunk
+                wire_h = np.asarray(out["wire"])     # ONE compact fetch
+                (cnt_i, mode_u8, depth_u8, part_u8, trd_u8, idx_i,
+                 vals_i) = ij.unpack_intra_wire(wire_h, self.ph, self.pw)
+                cap_i = ij.intra_wire_cap(self.ph, self.pw)
+                if cnt_i <= cap_i:
+                    res = native_backend.scatter_levels_native(
+                        idx_i, vals_i, min(cnt_i, cap_i), self.ph, self.pw)
+                    if res is not None:
+                        lev_yp_i, lev_up_i, lev_vp_i, _ = res
+                    else:
+                        lev_yp_i, lev_up_i, lev_vp_i = p_chunk.scatter_levels(
+                            idx_i, vals_i, min(cnt_i, cap_i), self.ph,
+                            self.pw)
+                else:                      # capacity overflow: dense fetch
+                    self.chunk_overflows += 1
+                    lev_yp_i, lev_up_i, lev_vp_i = (
+                        out["lev_y"], out["lev_u"], out["lev_v"])
                 maps = native_backend.maps_from_intra_units(
-                    out["mode_units"], out["depth_units"], out["lev_y"],
-                    out["lev_u"], out["lev_v"], depth_offset=depth_offset,
-                    part_units=(out.get("part_units")
+                    mode_u8, depth_u8, lev_yp_i, lev_up_i, lev_vp_i,
+                    depth_offset=depth_offset,
+                    part_units=(part_u8.astype(bool)
                                 if self.intra_split else None),
-                    tr_depth_units=(out.get("trd_units")
-                                    if tu_depth else None))
+                    tr_depth_units=(trd_u8 if tu_depth else None))
             if deblk:
                 self._ref = p_jax.deblock_intra_device(
                     out["recon_y"], out["recon_u"], out["recon_v"],
@@ -640,6 +658,11 @@ class HomerEncoder:
         # and the tunnel serializes transfers with compute)
         return max(1024, L4 // 64)
 
+    @property
+    def _chunk_cap2(self):
+        # escape-list capacity for |level| > 127 sub-blocks (wire int8 pack)
+        return max(64, self._chunk_cap // 8)
+
     def _finish_chunk(self, pending, aus, frames):
         """Fetch + host-process one dispatched chunk. Returns None, or
         'scene' after a scene-cut fallback re-encode."""
@@ -670,7 +693,7 @@ class HomerEncoder:
             cnt = int(w["cnt"][0])
             nz = None
             with self.prof.probe("chunk.scatter"):
-                if cnt <= cap:
+                if cnt <= cap and int(w["cnt2"][0]) <= self._chunk_cap2:
                     res = native_backend.scatter_levels_native(
                         w["idx"], w["vals"], min(cnt, cap), self.ph, self.pw)
                     if res is not None:

@@ -223,6 +223,8 @@ def frame_maps_from_plans(plans, pic_w: int, pic_h: int, ctu_size: int):
 
 
 def _blocks_to_plane(blocks: np.ndarray) -> np.ndarray:
+    if blocks.ndim == 2:                 # already a frame-level plane
+        return np.ascontiguousarray(blocks)
     nby, nbx, b, _ = blocks.shape
     return np.ascontiguousarray(
         blocks.transpose(0, 2, 1, 3).reshape(nby * b, nbx * b))

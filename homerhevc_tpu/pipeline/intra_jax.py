@@ -495,6 +495,57 @@ def _open_loop_maps(y_pad, *, B, qp, lam_fx, strong_smoothing, rd_mode=1,
             trd_u.astype(I32))
 
 
+def intra_wire_cap(H: int, W: int) -> int:
+    """Compacted I-frame coefficient capacity: intra codes far more 4x4
+    sub-blocks than inter — budget half of all of them (overflow falls
+    back to the dense fetch, counted by the caller)."""
+    return ((H // 4) * (W // 4) * 3 // 2) // 2
+
+
+def pack_intra_wire(lev_yp, lev_up, lev_vp, mode_u, depth_u, part_u, trd_u):
+    """Compact I-frame wire: packed unit maps + nonzero 4x4 coefficient
+    sub-blocks in int16 (intra levels overflow int8 too often for the P
+    wire's escape trick to pay). Cuts the per-I-frame fetch ~6x — the
+    tunnel's bandwidth dips make the dense (H, W) int32 planes the
+    dominant all-intra cost. Layout: [cnt, units16 (2/int32), idx, vals]."""
+    from .p_chunk import _to4
+    H, W = lev_yp.shape
+    L4 = (H // 4) * (W // 4) * 3 // 2
+    cap = intra_wire_cap(H, W)
+    lv4 = jnp.concatenate([_to4(lev_yp), _to4(lev_up), _to4(lev_vp)])
+    nzm = jnp.any(lv4 != 0, axis=1)
+    cnt = jnp.sum(nzm.astype(I32))
+    (idx,) = jnp.nonzero(nzm, size=cap, fill_value=L4)
+    vals = jnp.take(lv4, jnp.minimum(idx, L4 - 1), axis=0)
+    vals = jnp.where((idx < L4)[:, None], vals, 0)
+    vals32 = jax.lax.bitcast_convert_type(
+        vals.reshape(cap, 8, 2), I32).reshape(cap, 8)
+    units = (mode_u.astype(I32) & 63) | (depth_u.astype(I32) << 6) \
+        | (part_u.astype(I32) << 8) | (trd_u.astype(I32) << 9)
+    u16 = units.reshape(-1).astype(jnp.int16)
+    u32 = jax.lax.bitcast_convert_type(u16.reshape(-1, 2), I32)
+    return jnp.concatenate([cnt.reshape(1), u32.reshape(-1),
+                            idx.astype(I32), vals32.reshape(-1)])
+
+
+def unpack_intra_wire(wire, H: int, W: int):
+    """Host inverse of pack_intra_wire. Returns (cnt, mode_u, depth_u,
+    part_u, trd_u, idx, vals) — vals (cap, 16) int16."""
+    import numpy as np
+    cap = intra_wire_cap(H, W)
+    nu = (H // 4) * (W // 4)
+    o = 0
+    cnt = int(wire[0]); o = 1
+    u16 = np.ascontiguousarray(wire[o:o + nu // 2]).view(np.int16)
+    o += nu // 2
+    units = u16.astype(np.int32).reshape(H // 4, W // 4)
+    idx = wire[o:o + cap]; o += cap
+    vals = np.ascontiguousarray(wire[o:o + cap * 8]).view(
+        np.int16).reshape(cap, 16)
+    return (cnt, (units & 63), (units >> 6) & 3,
+            ((units >> 8) & 1), ((units >> 9) & 1), idx, vals)
+
+
 def _lane_fn(r, d, planes, state, *, B, nbx, W, qp, qp_c, lam, lam_c,
              strong_smoothing, sign_hiding=False, split_rdo=False,
              ctu64=False, maps=None, rd_mode=1, tu_split=False):
@@ -795,7 +846,7 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
     def blocks_to_plane(blocks, n):
         return blocks.transpose(0, 2, 1, 3).reshape(nby * n, nbx * n)
 
-    return dict(
+    out = dict(
         modes=st["mode_u"][:, :, 0, 0],
         mode_units=blocks_to_plane(st["mode_u"], B // 4),
         depth_units=blocks_to_plane(st["depth_u"], B // 4),
@@ -806,6 +857,11 @@ def encode_frame_intra(y_pad, u_pad, v_pad, *, B: int, qp,
         recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),
         recon_v=blocks_to_plane(st["rec_v"], B2).astype(jnp.uint8),
     )
+    out["wire"] = pack_intra_wire(
+        blocks_to_plane(st["lev_y"], B), blocks_to_plane(st["lev_u"], B2),
+        blocks_to_plane(st["lev_v"], B2), out["mode_units"],
+        out["depth_units"], out["part_units"], out["trd_units"])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("strong_smoothing",
@@ -898,7 +954,7 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
     def blocks_to_plane(blocks, n):
         return blocks.transpose(0, 2, 1, 3).reshape(nby * n, nbx * n)
 
-    return dict(
+    out = dict(
         mode_units=blocks_to_plane(st["mode_u"], 16),
         depth_units=blocks_to_plane(st["depth_u"], 16),
         part_units=blocks_to_plane(st["part_u"], 16),
@@ -908,3 +964,8 @@ def encode_frame_intra_ctu64(y_pad, u_pad, v_pad, *, qp,
         recon_u=blocks_to_plane(st["rec_u"], B2).astype(jnp.uint8),
         recon_v=blocks_to_plane(st["rec_v"], B2).astype(jnp.uint8),
     )
+    out["wire"] = pack_intra_wire(
+        blocks_to_plane(st["lev_y"], B), blocks_to_plane(st["lev_u"], B2),
+        blocks_to_plane(st["lev_v"], B2), out["mode_units"],
+        out["depth_units"], out["part_units"], out["trd_units"])
+    return out

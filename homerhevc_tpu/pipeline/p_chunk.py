@@ -80,33 +80,47 @@ def wire_layout(H: int, W: int, ctu: int, cap: int, fine: bool = False):
 
     dec16: per-16-block (per-8 when `fine` — 8x8 inter CUs enabled) packed
     depth(2b) | mvx+2048(12b) | mvy+2048(12b);
-    sao_pp: packed SAO word per (component, CTU) — see _pk_params."""
+    sao_pp: packed SAO word per (component, CTU) — see _pk_params;
+    vals8: int8-packed coefficients (4 words/sub-block) with the rare
+    |level| > 127 sub-blocks escaped to (erow, evals) in full int16."""
     g = 8 if fine else 16
     hg, wg = H // g, W // g
     nby, nbx = H // ctu, W // ctu
+    cap2 = max(64, cap // 8)
     return [
         ("cnt", (1,)),
+        ("cnt2", (1,)),
         ("dec16", (hg, wg)),
         ("sad", (nby, nbx)),
         ("sao_pp", (3, nby, nbx)),
         ("idx", (cap,)),
-        ("vals", (cap, 8)),          # (cap, 16) int16 bitcast to (cap, 8)
+        ("vals8", (cap, 4)),         # (cap, 16) int8 bitcast to (cap, 4)
+        ("erow", (cap2,)),
+        ("evals", (cap2, 8)),        # (cap2, 16) int16 bitcast
     ]
 
 
 def unpack_wire(row: np.ndarray, H: int, W: int, ctu: int, cap: int,
                 fine: bool = False):
     """Host-side wire row -> dict of numpy arrays: depth16, mv16, sad,
-    sao params (+ merge flags), idx, vals (int16), cnt. With `fine`, the
-    decision grids are 8-granular (keys keep the *16 names; the caller
-    upsamples by `gran()`)."""
+    sao params (+ merge flags), idx, vals (int16, escapes re-widened),
+    cnt. With `fine`, the decision grids are 8-granular (keys keep the
+    *16 names; the caller upsamples by `gran`)."""
     out = {}
     o = 0
     for name, shape in wire_layout(H, W, ctu, cap, fine):
         n = int(np.prod(shape))
         out[name] = row[o:o + n].reshape(shape)
         o += n
-    out["vals"] = np.ascontiguousarray(out["vals"]).view(np.int16)
+    v8 = np.ascontiguousarray(out.pop("vals8")).view(np.int8)
+    vals = v8.astype(np.int16)
+    cap2 = max(64, cap // 8)
+    n2 = min(int(out["cnt2"][0]), cap2)
+    if n2:
+        ev = np.ascontiguousarray(out["evals"]).view(np.int16)
+        rows_i = out["erow"][:n2]
+        vals[rows_i] = ev[:n2]
+    out["vals"] = vals
     d = out.pop("dec16")
     out["depth16"] = (d & 3).astype(np.int32)
     out["trd16"] = ((d >> 2) & 1).astype(np.int32)
@@ -265,14 +279,29 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
             pp = jnp.zeros((3, nby, nbx), I32)
 
         # ---- compact the level planes: nonzero 4x4 sub-blocks ----
+        # Coefficients ride the tunnel as INT8 (4 words per sub-block, not
+        # 8): levels above +-127 are rare at coding QPs, so an escape list
+        # (row index into the compact array + full int16 values) carries
+        # them; the host re-widens before scatter. Halves the dominant
+        # wire section — the fetch rides a tunnel whose bandwidth dips to
+        # ~2 MB/s, where every KB of per-frame wire costs ~0.5 ms.
         lv4 = jnp.concatenate([_to4(lev_yp), _to4(lev_up), _to4(lev_vp)])
         nzm = jnp.any(lv4 != 0, axis=1)
         cnt = jnp.sum(nzm.astype(I32))
         (idx,) = jnp.nonzero(nzm, size=cap, fill_value=L4)
         vals = jnp.take(lv4, jnp.minimum(idx, L4 - 1), axis=0)
         vals = jnp.where((idx < L4)[:, None], vals, 0)
-        vals32 = jax.lax.bitcast_convert_type(
-            vals.reshape(cap, 8, 2), I32).reshape(cap, 8)
+        v8 = jnp.clip(vals, -128, 127).astype(jnp.int8)
+        vals8 = jax.lax.bitcast_convert_type(
+            v8.reshape(cap, 4, 4), I32).reshape(cap, 4)
+        esc = jnp.any(jnp.abs(vals) > 127, axis=1)
+        cap2 = max(64, cap // 8)
+        cnt2 = jnp.sum(esc.astype(I32))
+        (erow,) = jnp.nonzero(esc, size=cap2, fill_value=cap)
+        evals = jnp.take(vals, jnp.minimum(erow, cap - 1), axis=0)
+        evals = jnp.where((erow < cap)[:, None], evals, 0)
+        evals32 = jax.lax.bitcast_convert_type(
+            evals.reshape(cap2, 8, 2), I32).reshape(cap2, 8)
 
         st = 2 if cu8 else 4           # 8- or 16-granular decision grid
         dec16 = ((depth_u[::st, ::st] & 3)
@@ -282,11 +311,14 @@ def p_chunk_device(ys, us, vs, ref_y, ref_u, ref_v, qps, *, ctu: int,
                  | ((mv_u[::st, ::st, 1] + 2048) << 16))
         wire = jnp.concatenate([
             cnt.reshape(1),
+            cnt2.reshape(1),
             dec16.reshape(-1),
             sad.reshape(-1),
             pp.reshape(-1),
             idx.astype(I32),
-            vals32.reshape(-1),
+            vals8.reshape(-1),
+            erow.astype(I32),
+            evals32.reshape(-1),
         ])
         dense = jnp.concatenate([
             lev_yp.astype(jnp.int16).reshape(-1),
