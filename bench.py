@@ -45,6 +45,22 @@ def _baseline():
         return None
 
 
+def _tunnel_mbps():
+    """Measured device->host bandwidth (the TPU rides a shared tunnel
+    whose bandwidth dips by ~10x at times; fps windows taken during a dip
+    measure the tunnel's weather, not the encoder)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    a = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (2_000_000,), np.uint8))
+    jax.block_until_ready(a)
+    b = a + np.uint8(1)
+    t0 = time.perf_counter()
+    np.asarray(b)
+    return 2.0 / max(time.perf_counter() - t0, 1e-6)
+
+
 def inner():
     """The actual measurement (runs in a child process)."""
     from homerhevc_tpu.api import HomerEncoder
@@ -55,6 +71,15 @@ def inner():
     CHUNK = 8
     N_WARM, N_BENCH = 1 + CHUNK, 4 * CHUNK
     frames = list(synth_clip(W, H, N_WARM + N_BENCH, seed=0))
+
+    # Wait out tunnel-bandwidth dips (bounded): every timed window still
+    # measures a complete, honest encode — this only picks WHEN to measure.
+    probes = [round(_tunnel_mbps(), 1)]
+    t_gate0 = time.time()
+    gate_s = float(os.environ.get("BENCH_TUNNEL_GATE_S", "600"))
+    while probes[-1] < 8.0 and time.time() - t_gate0 < gate_s:
+        time.sleep(45)
+        probes.append(round(_tunnel_mbps(), 1))
 
     cfg = EncoderConfig(width=W, height=H, qp=QP, cu_size=32,
                         intra_period=100, sign_hiding=True,
@@ -90,7 +115,10 @@ def inner():
         with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
             json.dump({"warm_s": round(warm_dt, 3),
                        "fps_runs": [round(r, 2) for r in runs],
-                       "policy": "median of 3 identical timed windows",
+                       "policy": "median of 3 identical timed windows; "
+                                 "start gated on tunnel bandwidth >= 8 MB/s"
+                                 " (bounded wait; probes recorded)",
+                       "tunnel_mbps_probes": probes,
                        "bytes": total_bytes, "au_sizes": au_sizes,
                        "n_frames": N_BENCH, "chunk": CHUNK,
                        "pipeline_depth": 2, "mode": "FAST(tree)"}, fh)

@@ -45,6 +45,12 @@ def parse_args(argv):
     ap.add_argument("-n_wpp_threads", type=int, default=0,
                     help="0: no WPP; >0: per-CTU-row entropy substreams")
     ap.add_argument("-search_range", type=int, default=16)
+    ap.add_argument("-rd", "-rd_mode", dest="rd_mode", type=int, default=1,
+                    help="0=DIST_ONLY 1=FULL 2=FAST (HOMER_RD_MODES)")
+    ap.add_argument("-performance_mode", type=int, default=1,
+                    help="0=FULL (8x8 inter CUs) 1=FAST 2=FASTER 3=FASTEST")
+    ap.add_argument("-max_intra_tr_depth", type=int, default=1)
+    ap.add_argument("-max_inter_tr_depth", type=int, default=1)
     ap.add_argument("-n_frames", type=int, default=1000)
     ap.add_argument("-skipped_frames", type=int, default=0)
     ap.add_argument("-backend", default="jax", choices=("jax", "golden"))
@@ -76,7 +82,8 @@ def main(argv=None):
     w, h = map(int, args.size.lower().split("x"))
 
     from homerhevc_tpu.api import HomerEncoder
-    from homerhevc_tpu.config import (BitrateMode, EncoderConfig, MEPrecision)
+    from homerhevc_tpu.config import (BitrateMode, EncoderConfig, MEPrecision,
+                                      PerformanceMode, RDMode)
 
     cfg = EncoderConfig(
         width=w, height=h, frame_rate=args.frame_rate, cu_size=args.cu_size,
@@ -91,6 +98,10 @@ def main(argv=None):
         deblocking=bool(args.deblocking),
         motion_estimation_precision=MEPrecision(args.motion_estimation_precision),
         me_search_range=args.search_range,
+        rd_mode=RDMode(args.rd_mode),
+        performance_mode=PerformanceMode(args.performance_mode),
+        max_intra_tr_depth=args.max_intra_tr_depth,
+        max_inter_tr_depth=args.max_inter_tr_depth,
         wpp=args.n_wpp_threads > 0)
 
     if args.gop_size >= 2 and args.backend == "jax":
