@@ -34,6 +34,8 @@ class RateControl:
         self._is_idr_last = False
         self._repay_last = 0.0
         self._anchor_qp = None
+        self._last_i = None            # (bits, qp) of the last coded I
+        self._issued_qp = self.qp
 
     # ---------------------------------------------------------- per frame
     def frame_target(self, is_idr: bool, is_b: bool = False) -> float:
@@ -79,7 +81,25 @@ class RateControl:
             elif frac > 0.9:
                 qp -= 1
         if is_idr:
-            qp -= 2      # I frames coded finer (reference I/P QP compensation)
+            # I frames aim at THEIR target, not the P-adapted base: predict
+            # this IDR's cost from the last one's (bits, qp) via the
+            # 3-QP-per-doubling rule (role of the reference's I/P QP
+            # compensation + VBV-clamped I target, hmr_rate_control.c:
+            # 89-150). Without this, a scene-cut IDR inherits a base QP
+            # the P loop adapted far below the I budget and blows the VBV
+            # (measured 2.4x CBR overshoot at 1080p).
+            if self._last_i is not None:
+                b0, q0 = self._last_i
+                qp_i = q0 + 3.0 * math.log2(max(b0, 1.0) / target)
+                # VBV pressure applies to I frames too: a scene-cut IDR
+                # into a drained buffer must come in coarse
+                if frac < 0.15:
+                    qp_i += 3
+                elif frac < 0.3:
+                    qp_i += 1
+                qp = max(min(qp_i, qp + 12), qp - 6)
+            else:
+                qp -= 2
         if is_b:
             # non-reference B: +2 relative to the ANCHOR it references (the
             # base QP may have moved since the anchor was coded; pinning to
@@ -89,16 +109,22 @@ class RateControl:
         out = int(round(max(0, min(51, qp))))
         if not is_b:
             self._anchor_qp = out
+        self._issued_qp = out
         return out
 
     def end_frame(self, bits_used: int, is_idr: bool,
                   is_b: bool = False) -> None:
         """VBV update + QP adaptation (hmr_rc_end_pic :152-263)."""
         target = self._target_last
-        # adapt the base QP from the log bit-rate error (3 QP ~= 2x bits)
+        # adapt the base QP from the log bit-rate error (3 QP ~= 2x bits).
+        # The step is capped at +-1 per frame: the chunked device pipeline
+        # feeds bits back 8-16 frames late, and a +-3 step under that lag
+        # oscillates (measured +-24 QP swings -> alternating near-lossless
+        # and starved chunks); the VBV-fullness guardrails in frame_qp are
+        # the fast actuator, this integrator only trims.
         err = math.log2(max(bits_used, 1) / max(target, 1))
-        gain = 1.5 if self.mode == BitrateMode.CBR else 1.0
-        step = max(-3.0, min(3.0, gain * err))
+        gain = 1.0 if self.mode == BitrateMode.CBR else 0.75
+        step = max(-1.0, min(1.0, gain * err))
         # I frames are intentionally over target; adapt on P frames only
         # (B mismatches must not yank the base QP).
         if not is_idr and not is_b:
@@ -108,6 +134,7 @@ class RateControl:
             self._repay_last = 0.0
         elif is_idr:
             self._i_excess = max(0.0, bits_used - self.avg)
+            self._last_i = (float(bits_used), self._issued_qp)
         self.fullness += self.avg - bits_used
         # clamp to the buffer (overflow/underflow handling :246-261)
         self.fullness = max(0.0, min(self.vbv_size, self.fullness))
