@@ -121,7 +121,9 @@ class HomerEncoder:
             max_tr_depth_intra=(1 if (self.intra_split
                                       and c.max_intra_tr_depth >= 1)
                                 else 0),
-            max_tr_depth_inter=(1 if self.inter_split else 0),
+            max_tr_depth_inter=(1 if (self.inter_split
+                                      and c.max_inter_tr_depth >= 1)
+                                else 0),
             init_qp=c.qp, sign_hiding=c.sign_hiding,
             deblocking_disabled=not c.deblocking,
             num_ref_frames=(2 if c.gop_size >= 2 else 1),
@@ -638,7 +640,7 @@ class HomerEncoder:
                 sign_hiding=c.sign_hiding, deblock=c.deblocking,
                 sao=c.sample_adaptive_offset,
                 cap=self._chunk_cap, tree=self.inter_split,
-                tr_split=self.inter_split,
+                tr_split=(self.params.max_tr_depth_inter > 0),
                 intra_in_p=(self.inter_split and ctu == 32),
                 qp_rows=(None if qp_rows is None
                          else jnp.asarray(qp_rows, jnp.int32)),
@@ -794,7 +796,8 @@ class HomerEncoder:
                 ydev, udev, vdev, *self._ref, ctu=ctu, qp=qp,
                 search=c.me_search_range,
                 me_precision=int(c.motion_estimation_precision),
-                deblock=deblk, sign_hiding=c.sign_hiding, tr_split=True,
+                deblock=deblk, sign_hiding=c.sign_hiding,
+                tr_split=(self.params.max_tr_depth_inter > 0),
                 intra_in_p=(ctu == 32), vis=(c.height, c.width),
                 qp_rows=(None if qp_rows is None
                          else jnp.asarray(qp_rows, jnp.int32)),

@@ -36,6 +36,7 @@ class RateControl:
         self._anchor_qp = None
         self._last_i = None            # (bits, qp) of the last coded I
         self._issued_qp = self.qp
+        self._inflight = 0             # QPs issued, bits not yet seen
 
     # ---------------------------------------------------------- per frame
     def frame_target(self, is_idr: bool, is_b: bool = False) -> float:
@@ -110,6 +111,7 @@ class RateControl:
         if not is_b:
             self._anchor_qp = out
         self._issued_qp = out
+        self._inflight += 1
         return out
 
     def end_frame(self, bits_used: int, is_idr: bool,
@@ -122,9 +124,14 @@ class RateControl:
         # oscillates (measured +-24 QP swings -> alternating near-lossless
         # and starved chunks); the VBV-fullness guardrails in frame_qp are
         # the fast actuator, this integrator only trims.
+        # scale by the number of in-flight frames (QPs issued before this
+        # feedback arrived): with the chunk pipeline pre-querying 8-16 QPs,
+        # an unscaled step applies the same correction that many times
+        # over before the next real feedback — the classic lag-oscillation
         err = math.log2(max(bits_used, 1) / max(target, 1))
         gain = 1.0 if self.mode == BitrateMode.CBR else 0.75
-        step = max(-1.0, min(1.0, gain * err))
+        step = max(-1.0, min(1.0, gain * err)) / max(self._inflight, 1)
+        self._inflight = max(0, self._inflight - 1)
         # I frames are intentionally over target; adapt on P frames only
         # (B mismatches must not yank the base QP).
         if not is_idr and not is_b:
